@@ -1,0 +1,25 @@
+"""Model family, losses, and functional building blocks."""
+
+from ghm_tpu.models.transformer import (
+    EncoderTransformer,
+    AutoRegressiveTransformer,
+    ConditionalDenoiseEncoderTransformer,
+    DenoiseEncoderTransformer,
+)
+from ghm_tpu.models.resnet import ResNet
+from ghm_tpu.models import losses
+from ghm_tpu.models.layers import (
+    get_activation,
+    prefix_lm_mask,
+)
+
+__all__ = [
+    "EncoderTransformer",
+    "AutoRegressiveTransformer",
+    "ConditionalDenoiseEncoderTransformer",
+    "DenoiseEncoderTransformer",
+    "ResNet",
+    "losses",
+    "get_activation",
+    "prefix_lm_mask",
+]
