@@ -22,6 +22,8 @@ immediately transpose away.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -47,7 +49,86 @@ __all__ = [
     "ConditionalDenoiseSampler",
     "NextWordPredictSampler",
     "bayes_clip_loss",
+    "clip_batch",
+    "cdns_batch",
+    "nwp_batch",
 ]
+
+
+# ----------------------------------------------------------------------
+# Transition-explicit batch functions.
+#
+# The sampler classes below close over fixed transition tensors; these free
+# functions take the transitions as arguments instead, which makes them
+# vmappable over a stacked hyperparameter axis — the basis of the sweep
+# runner (parallel/sweep.py) that trains the reference's "20 background
+# processes" (exp_clip_standardTF.sh:6-43) as ONE compiled program.
+# ----------------------------------------------------------------------
+
+def clip_batch(key, t_transition, i_transition, variable_type, K,
+               batch_size, guide, n_childs):
+    """CLIP (K+1)-block batch from explicit transition tensors."""
+    B = batch_size
+    kr1, kr2, kt, ki = jax.random.split(key, 4)
+    t_root = sample_root(kr1, B * (K + 1), variable_type)
+    i_root_extra = sample_root(kr2, B * (K - 1), variable_type)
+    i_root = jnp.concatenate([t_root[: 2 * B], i_root_extra])
+    t_vals = sample_tree(kt, t_transition, B * (K + 1), root=t_root)
+    i_vals = sample_tree(ki, i_transition, B * (K + 1), root=i_root)
+    if guide:
+        t_res = bp_cls(t_vals[-1], t_transition)
+        i_res = bp_cls(i_vals[-1], i_transition)
+        t_guides = guided_cls(t_res, n_childs[0])
+        i_guides = guided_cls(i_res, n_childs[1])
+        t_pp, i_pp = t_res.posterior, i_res.posterior
+    else:
+        t_guides = i_guides = t_pp = i_pp = None
+    return (
+        (t_vals[-1], t_root, t_guides, t_pp),
+        (i_vals[-1], i_root, i_guides, i_pp),
+    )
+
+
+def cdns_batch(key, t_transition, i_transition, variable_type, sigma,
+               batch_size, guide, n_childs):
+    """Conditional-denoising batch from explicit transition tensors."""
+    kr, kt, ki, kn = jax.random.split(key, 4)
+    root = sample_root(kr, batch_size, variable_type)
+    t_vals = sample_tree(kt, t_transition, batch_size, root=root)
+    i_vals = sample_tree(ki, i_transition, batch_size, root=root)
+    x_img = i_vals[-1].astype(jnp.float32)
+    z = x_img + sigma * jax.random.normal(kn, x_img.shape)
+    t_res = bp_cls(t_vals[-1], t_transition)
+    external = t_res.h_msgs[0][:, 0, :]
+    i_res = bp_dns(z, i_transition, sigma=sigma, external=external)
+    if guide:
+        t_guides = guided_cls(t_res, n_childs[0])
+        i_guides = guided_dns(i_res, n_childs[1])
+    else:
+        t_guides = i_guides = None
+    return (
+        (t_vals[-1], root, t_guides, t_res.posterior),
+        (z, i_vals[-1], i_guides, i_res.posterior_mean),
+    )
+
+
+def nwp_batch(key, t_transition, i_transition, variable_type,
+              batch_size, guide, n_childs):
+    """Next-word-prediction batch from explicit transition tensors."""
+    kr, kt, ki = jax.random.split(key, 3)
+    root = sample_root(kr, batch_size, variable_type)
+    t_vals = sample_tree(kt, t_transition, batch_size, root=root)
+    i_vals = sample_tree(ki, i_transition, batch_size, root=root)
+    text = t_vals[-1]
+    i_res = bp_cls(i_vals[-1], i_transition)
+    external = i_res.h_msgs[0][:, 0, :]
+    pp, t_guides = bp_nwp_autoregressive(text, t_transition,
+                                         external=external, guide=guide)
+    i_guides = guided_cls(i_res, n_childs[1]) if guide else None
+    return (
+        (text[:, :-1], text[:, 1:], t_guides, pp),
+        (i_vals[-1], i_vals[0][:, 0], i_guides, i_res.posterior),
+    )
 
 
 def bayes_clip_loss(t_pp, i_pp, n_eval: int, K: int, variable_type: int):
@@ -70,6 +151,43 @@ def bayes_clip_loss(t_pp, i_pp, n_eval: int, K: int, variable_type: int):
     s = direction(t_pp[:n_eval], i_pp[:n_eval], t_pp[2 * n_eval :])
     s += direction(i_pp[n_eval : 2 * n_eval], t_pp[n_eval : 2 * n_eval], i_pp[2 * n_eval :])
     return jnp.mean(s), jnp.std(s) / np.sqrt(n_eval)
+
+
+
+# ----------------------------------------------------------------------
+# Jitted entry points.
+#
+# On a remote-tunneled TPU every eagerly dispatched op pays a network round
+# trip, so one-shot paths like get_bayes would take minutes if run op by op.
+# These module-level jits take the transition tensors as *traced* arguments,
+# so all samplers with the same tree shapes share one compiled executable
+# regardless of p_flip.
+# ----------------------------------------------------------------------
+
+clip_batch_jit = jax.jit(clip_batch, static_argnums=(3, 4, 5, 6, 7))
+cdns_batch_jit = jax.jit(cdns_batch, static_argnums=(3, 4, 5, 6, 7))
+nwp_batch_jit = jax.jit(nwp_batch, static_argnums=(3, 4, 5, 6))
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _clip_bayes_jit(key, t_transition, i_transition, variable_type, K, n_eval):
+    res_t, res_i = clip_batch(key, t_transition, i_transition, variable_type,
+                              K, n_eval, False, (0, 0))
+    t_pp = bp_cls(res_t[0], t_transition).posterior
+    i_pp = bp_cls(res_i[0], i_transition).posterior
+    return bayes_clip_loss(t_pp, i_pp, n_eval, K, variable_type)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _zeroshot_batch_jit(key, t_transition, i_transition, variable_type,
+                        batch_size):
+    kr, kt, ki = jax.random.split(key, 3)
+    root = sample_root(kr, batch_size, variable_type)
+    t_vals = sample_tree(kt, t_transition, batch_size, root=root)
+    i_vals = sample_tree(ki, i_transition, batch_size, root=root)
+    t_pp = bp_cls(t_vals[-1], t_transition).posterior
+    i_pp = bp_cls(i_vals[-1], i_transition).posterior
+    return t_vals[-1], i_vals[-1], t_pp, i_pp, root
 
 
 class SingleTreeSampler:
@@ -147,13 +265,9 @@ class DoubleTreeSampler:
         Reference ``DoubleSampler.get_zeroshot_batch`` (:670-682).
         Returns (t_leaves [B,Tt], i_leaves [B,Ti], t_pp [B,V], i_pp [B,V], root [B]).
         """
-        kr, kt, ki = jax.random.split(key, 3)
-        root = sample_root(kr, batch_size, self.variable_type)
-        t_vals = sample_tree(kt, self.t_transition, batch_size, root=root)
-        i_vals = sample_tree(ki, self.i_transition, batch_size, root=root)
-        t_pp = bp_cls(t_vals[-1], self.t_transition).posterior
-        i_pp = bp_cls(i_vals[-1], self.i_transition).posterior
-        return t_vals[-1], i_vals[-1], t_pp, i_pp, root
+        return _zeroshot_batch_jit(key, self.t_transition,
+                                   self.i_transition, self.variable_type,
+                                   batch_size)
 
 
 class ClassificationSampler(SingleTreeSampler):
@@ -210,38 +324,14 @@ class ClipSampler(DoubleTreeSampler):
         self.K = int(K)
 
     def get_batch(self, key, batch_size=128, guide=False):
-        K, B = self.K, batch_size
-        kr1, kr2, kt, ki = jax.random.split(key, 4)
-        t_root = sample_root(kr1, B * (K + 1), self.variable_type)
-        i_root_extra = sample_root(kr2, B * (K - 1), self.variable_type)
-        i_root = jnp.concatenate([t_root[: 2 * B], i_root_extra])
-        t_vals = sample_tree(kt, self.t_transition, B * (K + 1), root=t_root)
-        i_vals = sample_tree(ki, self.i_transition, B * (K + 1), root=i_root)
-        if guide:
-            t_res = bp_cls(t_vals[-1], self.t_transition)
-            i_res = bp_cls(i_vals[-1], self.i_transition)
-            t_guides = guided_cls(t_res, self.n_childs[0])
-            i_guides = guided_cls(i_res, self.n_childs[1])
-            t_pp, i_pp = t_res.posterior, i_res.posterior
-        else:
-            t_guides = i_guides = t_pp = i_pp = None
-        return (
-            (t_vals[-1], t_root, t_guides, t_pp),
-            (i_vals[-1], i_root, i_guides, i_pp),
-        )
+        return clip_batch_jit(key, self.t_transition, self.i_transition,
+                              self.variable_type, self.K, batch_size, guide,
+                              tuple(self.n_childs))
 
     def get_bayes(self, key, n_eval=10000):
         """Bayes CLIP risk from exact posteriors (:786-817)."""
-        K, B = self.K, n_eval
-        kr1, kr2, kt, ki = jax.random.split(key, 4)
-        t_root = sample_root(kr1, B * (K + 1), self.variable_type)
-        i_root_extra = sample_root(kr2, B * (K - 1), self.variable_type)
-        i_root = jnp.concatenate([t_root[: 2 * B], i_root_extra])
-        t_vals = sample_tree(kt, self.t_transition, B * (K + 1), root=t_root)
-        i_vals = sample_tree(ki, self.i_transition, B * (K + 1), root=i_root)
-        t_pp = bp_cls(t_vals[-1], self.t_transition).posterior
-        i_pp = bp_cls(i_vals[-1], self.i_transition).posterior
-        mean, std = bayes_clip_loss(t_pp, i_pp, n_eval, K, self.variable_type)
+        mean, std = _clip_bayes_jit(key, self.t_transition, self.i_transition,
+                                    self.variable_type, self.K, n_eval)
         return float(mean), float(std)
 
 
@@ -261,24 +351,9 @@ class ConditionalDenoiseSampler(DoubleTreeSampler):
         self.sigma = float(sigma)
 
     def get_batch(self, key, batch_size=128, guide=False):
-        kr, kt, ki, kn = jax.random.split(key, 4)
-        root = sample_root(kr, batch_size, self.variable_type)
-        t_vals = sample_tree(kt, self.t_transition, batch_size, root=root)
-        i_vals = sample_tree(ki, self.i_transition, batch_size, root=root)
-        x_img = i_vals[-1].astype(jnp.float32)
-        z = x_img + self.sigma * jax.random.normal(kn, x_img.shape)
-        t_res = bp_cls(t_vals[-1], self.t_transition)
-        external = t_res.h_msgs[0][:, 0, :]  # text root message (before prior)
-        i_res = bp_dns(z, self.i_transition, sigma=self.sigma, external=external)
-        if guide:
-            t_guides = guided_cls(t_res, self.n_childs[0])
-            i_guides = guided_dns(i_res, self.n_childs[1])
-        else:
-            t_guides = i_guides = None
-        return (
-            (t_vals[-1], root, t_guides, t_res.posterior),
-            (z, i_vals[-1], i_guides, i_res.posterior_mean),
-        )
+        return cdns_batch_jit(key, self.t_transition, self.i_transition,
+                              self.variable_type, self.sigma, batch_size,
+                              guide, tuple(self.n_childs))
 
     def get_bayes(self, key, n_eval=10000):
         """Bayes MSE of the exact posterior mean vs clean leaves (:886-894)."""
@@ -292,21 +367,9 @@ class NextWordPredictSampler(DoubleTreeSampler):
     """Image-conditioned autoregressive next-word prediction (reference :896-942)."""
 
     def get_batch(self, key, batch_size=128, guide=False):
-        kr, kt, ki = jax.random.split(key, 3)
-        root = sample_root(kr, batch_size, self.variable_type)
-        t_vals = sample_tree(kt, self.t_transition, batch_size, root=root)
-        i_vals = sample_tree(ki, self.i_transition, batch_size, root=root)
-        text = t_vals[-1]
-        inputs, targets = text[:, :-1], text[:, 1:]
-        i_res = bp_cls(i_vals[-1], self.i_transition)
-        external = i_res.h_msgs[0][:, 0, :]
-        pp, t_guides = bp_nwp_autoregressive(
-            text, self.t_transition, external=external, guide=guide)
-        i_guides = guided_cls(i_res, self.n_childs[1]) if guide else None
-        return (
-            (inputs, targets, t_guides, pp),
-            (i_vals[-1], i_vals[0][:, 0], i_guides, i_res.posterior),
-        )
+        return nwp_batch_jit(key, self.t_transition, self.i_transition,
+                             self.variable_type, batch_size, guide,
+                             tuple(self.n_childs))
 
     def get_bayes(self, key, n_eval=10000):
         """Bayes next-token CE of the exact BP posterior (:931-942)."""

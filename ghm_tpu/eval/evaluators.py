@@ -1,0 +1,277 @@
+"""Evaluation procedures: in-distribution risk, zero-shot, and OOD sweeps.
+
+TPU-native rebuild of the reference ``figures/eval-*.py`` logic.  The
+"mis-specified BP" baselines — run exact inference with the *training*
+(p=0.20) transitions on leaves sampled from an *OOD* distribution — fall out
+of the functional BP design directly: pass mismatched ``leaf_values`` and
+``transitions`` (the reference has to graft leaf lists into prebuilt Node
+trees and rebuild, ``eval-cdm-ood.py:115-121``).
+
+Output dicts use the exact JSON schema of the reference artifacts
+(``figures/data/ghm-data/*.json``): ``{"p_flip": [...], "<Model Name>":
+[...], "Bayes": [...], ["Mis-spec. BP": [...]]}``.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from functools import partial
+
+from ghm_tpu.core import bp_cls, bp_dns, bp_nwp_autoregressive
+
+# Jitted BP entry points: transitions are traced arguments, so the compiled
+# executables are shared across the whole p sweep (and eager op-by-op
+# dispatch — ruinously slow over a remote TPU tunnel — is avoided).
+_bp_cls_jit = jax.jit(bp_cls)
+_bp_dns_jit = jax.jit(bp_dns, static_argnames=("sigma",))
+_bp_nwp_jit = jax.jit(bp_nwp_autoregressive, static_argnames=("guide",))
+from ghm_tpu.data import (
+    ClipSampler,
+    ConditionalDenoiseSampler,
+    DoubleTreeSampler,
+    NextWordPredictSampler,
+    bayes_clip_loss,
+)
+from ghm_tpu.models.losses import clip_loss, cross_entropy
+
+P_GRID = np.arange(2, 42, 2)
+TRAIN_P = 0.2
+TREE_ARGS = dict(n_layers=[4, 4], n_childs=[3, 3])
+
+
+# ----------------------------------------------------------------------
+# In-distribution risk from training-loss histories
+# ----------------------------------------------------------------------
+def history_risk_sweep(family_dir, variants, p_grid=P_GRID):
+    """Read ``loss_history[-100:].mean()`` + Bayes per (p, variant).
+
+    Reference ``eval-{clip,cdm,vlm}-risk.py``: the risk figures plot training
+    loss tails, not a separate eval run.
+    """
+    from ghm_tpu.eval.loaders import load_history
+
+    res = defaultdict(list)
+    res["p_flip"] = [int(p) for p in p_grid]
+    for p in p_grid:
+        tree = f"K4_L4C3p{p}_L4C3p{p}sc10"
+        bayes = None
+        for model_name, folder in variants.items():
+            loss, bayes = load_history(family_dir / tree / folder)
+            res[model_name].append(loss)
+        res["Bayes"].append(bayes)
+    return dict(res)
+
+
+# ----------------------------------------------------------------------
+# Zero-shot classification
+# ----------------------------------------------------------------------
+def root_to_first_text_leaf(pp, t_transition):
+    """Project a root posterior through the chain to the first text leaf.
+
+    Reference ``eval-zsc-risk.py:71-74``: multiply by the first edge matrix
+    of every layer.
+    """
+    for layer in t_transition:
+        pp = pp @ layer[0]
+    return pp
+
+
+def _ce_from_probs(probs, labels):
+    logits = jnp.log(probs)
+    return float(jnp.mean(cross_entropy(logits, labels)))
+
+
+_APPLY_CACHE: dict = {}
+
+
+def _jitted_apply(model):
+    """One jitted apply per model instance (stable across the p loop)."""
+    fn = _APPLY_CACHE.get(id(model))
+    if fn is None:
+        fn = jax.jit(model.apply)
+        _APPLY_CACHE[id(model)] = fn
+    return fn
+
+
+def _encode(model, params, leaves, minibatch=500):
+    apply = _jitted_apply(model)
+    outs = []
+    for i in range(0, leaves.shape[0], minibatch):
+        outs.append(apply(params, leaves[i : i + minibatch])[0])
+    return jnp.concatenate(outs, axis=0)
+
+
+def zsc_eval(sampler: DoubleTreeSampler, model_pairs, num_samples_list, key,
+             support_factor=30, misspec_transitions=None):
+    """Zero-shot classification risk for each support size M.
+
+    Reference ``eval-zsc-risk.py:62-123``: class prototypes are the first M
+    text samples whose first leaf equals the class; the zero-shot logit is
+    ``log mean(exp(<i_emb, t_emb>))`` over prototypes; the Bayes baseline is
+    the image-root posterior pushed through the text chain to the first text
+    leaf.  When ``misspec_transitions`` (a training-p transition pair) is
+    given, a "Mis-spec. BP" row is added (reference ``eval-zsc-ood.py:100-109``,
+    with its latent ``sampler.transition`` AttributeError fixed — the OOD
+    sampler's ``t_transition`` is the intended projection chain).
+    """
+    num_samples_list = np.asarray(num_samples_list)
+    total = int(num_samples_list.max()) * support_factor
+    t_leaves, i_leaves, t_pp, i_pp, root = sampler.get_zeroshot_batch(key, total)
+    true_label = t_leaves[:, 0]
+    res = defaultdict(list)
+    res["num_samples_list"] = num_samples_list.tolist()
+
+    bayes_pp = root_to_first_text_leaf(i_pp, sampler.t_transition)
+    res["Bayes"].append(_ce_from_probs(bayes_pp, true_label))
+
+    if misspec_transitions is not None:
+        mis_i_pp = _bp_cls_jit(i_leaves, misspec_transitions[1]).posterior
+        mis_pp = root_to_first_text_leaf(mis_i_pp, sampler.t_transition)
+        res["Mis-spec. BP"].append(_ce_from_probs(mis_pp, true_label))
+
+    labels_np = np.asarray(true_label)
+    class_indices = {}
+    for c in range(sampler.variable_type):
+        idx = np.where(labels_np == c)[0]
+        assert idx.size >= num_samples_list.max(), (
+            f"Class {c} only has {idx.size} text samples")
+        class_indices[c] = idx
+
+    for model_name, ((tmodel, t_params), (imodel, i_params)) in model_pairs.items():
+        i_emb = _encode(imodel, i_params, i_leaves)
+        t_emb = _encode(tmodel, t_params, t_leaves)
+        exp_sim = jnp.exp(i_emb @ t_emb.T)  # [N, N]
+        for m in num_samples_list:
+            logits = jnp.stack(
+                [jnp.log(jnp.mean(exp_sim[:, class_indices[c][:m]], axis=1))
+                 for c in range(sampler.variable_type)], axis=1)
+            res[model_name].append(float(jnp.mean(cross_entropy(logits, true_label))))
+    return res
+
+
+# ----------------------------------------------------------------------
+# OOD sweeps
+# ----------------------------------------------------------------------
+def clip_ood_eval(model_pairs, key, batch_size=5000, p_grid=P_GRID):
+    """CLIP OOD risk (reference ``eval-clip-ood.py``): checkpoints trained at
+    p=0.20 evaluated on p-swept batches, with Bayes and mis-specified-BP rows."""
+    train_sampler = ClipSampler(p_flips=[TRAIN_P, TRAIN_P], **TREE_ARGS)
+    res = defaultdict(list)
+    res["p_flip"] = [int(p) for p in p_grid]
+    for step, p in enumerate(p_grid):
+        kp = jax.random.fold_in(key, step)
+        k1, k2, k3 = jax.random.split(kp, 3)
+        sampler = ClipSampler(p_flips=[p / 100, p / 100], **TREE_ARGS)
+        bayes, _ = sampler.get_bayes(k1, n_eval=10000)
+        res["Bayes"].append(bayes)
+        res_t, res_i = sampler.get_batch(k2, batch_size=batch_size, guide=False)
+        # Mis-specified BP: training-p transitions on OOD leaves.
+        t_pp = _bp_cls_jit(res_t[0], train_sampler.t_transition).posterior
+        i_pp = _bp_cls_jit(res_i[0], train_sampler.i_transition).posterior
+        mis, _ = bayes_clip_loss(t_pp, i_pp, batch_size, sampler.K,
+                                 sampler.variable_type)
+        res["Mis-spec. BP"].append(float(mis))
+        for model_name, ((tmodel, t_params), (imodel, i_params)) in model_pairs.items():
+            t_out = _encode(tmodel, t_params, res_t[0])
+            i_out = _encode(imodel, i_params, res_i[0])
+            res[model_name].append(
+                float(clip_loss(t_out, i_out, sampler.K, batch_size)))
+    return dict(res)
+
+
+def cdm_ood_eval(models, clip_text, key, p_pair, batch_size=5000,
+                 p_grid=P_GRID):
+    """CDM OOD risk (reference ``eval-cdm-ood.py``).
+
+    ``p_pair(p) -> (p_text, p_image)`` selects the sweep (both-modality or
+    fixed-text).  Sequential variants consume the frozen CLIP text feature;
+    joint variants consume raw text leaves.
+    """
+    from ghm_tpu.models.losses import ls_loss
+
+    train_sampler = ConditionalDenoiseSampler(
+        p_flips=[TRAIN_P, TRAIN_P], sigma=1.0, **TREE_ARGS)
+    clip_model, clip_params = clip_text
+    res = defaultdict(list)
+    res["p_flip"] = [int(p) for p in p_grid]
+    for step, p in enumerate(p_grid):
+        pt, pi = p_pair(p)
+        kp = jax.random.fold_in(key, step)
+        k1, k2 = jax.random.split(kp)
+        sampler = ConditionalDenoiseSampler(
+            p_flips=[pt / 100, pi / 100], sigma=1.0, **TREE_ARGS)
+        bayes, _ = sampler.get_bayes(k1, n_eval=10000)
+        res["Bayes"].append(bayes)
+        res_t, res_i = sampler.get_batch(k2, batch_size=batch_size, guide=False)
+        z, clean = res_i[0], res_i[1].astype(jnp.float32)
+        # Mis-specified BP with training-p transitions on OOD data.
+        t_res = _bp_cls_jit(res_t[0], train_sampler.t_transition)
+        external = t_res.h_msgs[0][:, 0, :]
+        mis_pm = _bp_dns_jit(z, train_sampler.i_transition, sigma=1.0,
+                             external=external).posterior_mean
+        res["Mis-spec. BP"].append(float(ls_loss(mis_pm, clean)))
+        feat = None
+        for model_name, (model, params) in models.items():
+            apply = _jitted_apply(model)
+            if model_name in ("Shallow TF", "Standard TF"):
+                if feat is None:
+                    feat = _encode(clip_model, clip_params, res_t[0])[:, None, :]
+                text_input = feat
+            else:
+                text_input = res_t[0]
+            pred, _ = apply(params, text_input, z)
+            res[model_name].append(float(ls_loss(pred, clean)))
+    return dict(res)
+
+
+def vlm_ood_eval(models, clip_image, key, p_pair, batch_size=1000,
+                 p_grid=P_GRID):
+    """VLM OOD risk (reference ``eval-vlm-ood.py``)."""
+    train_sampler = NextWordPredictSampler(p_flips=[TRAIN_P, TRAIN_P],
+                                           **TREE_ARGS)
+    clip_model, clip_params = clip_image
+    res = defaultdict(list)
+    res["p_flip"] = [int(p) for p in p_grid]
+
+    def seq_ce(logits, targets):
+        ce = cross_entropy(logits.reshape(-1, logits.shape[-1]),
+                           targets.reshape(-1))
+        return float(jnp.mean(jnp.mean(ce.reshape(-1, targets.shape[1]), axis=1)))
+
+    for step, p in enumerate(p_grid):
+        pt, pi = p_pair(p)
+        kp = jax.random.fold_in(key, step)
+        k1, k2 = jax.random.split(kp)
+        sampler = NextWordPredictSampler(p_flips=[pt / 100, pi / 100],
+                                         **TREE_ARGS)
+        bayes, _ = sampler.get_bayes(k1, n_eval=10000)
+        res["Bayes"].append(bayes)
+        res_t, res_i = sampler.get_batch(k2, batch_size=batch_size, guide=False)
+        inputs, targets = res_t[0], res_t[1]
+        # Mis-specified BP: training-p transitions; the trailing leaf is never
+        # observed by autoregressive BP, so padding it is value-neutral.
+        full_text = jnp.concatenate([inputs, targets[:, -1:]], axis=1)
+        i_res = _bp_cls_jit(res_i[0], train_sampler.i_transition)
+        pp, _ = _bp_nwp_jit(full_text, train_sampler.t_transition,
+                            external=i_res.h_msgs[0][:, 0, :])
+        sel = jnp.take_along_axis(pp.reshape(-1, pp.shape[-1]),
+                                  targets.reshape(-1)[:, None].astype(jnp.int32),
+                                  axis=1)[:, 0]
+        res["Mis-spec. BP"].append(float(jnp.mean(-jnp.log(sel))))
+        feat = None
+        for model_name, (model, params) in models.items():
+            apply = _jitted_apply(model)
+            if model_name in ("Shallow TF", "Standard TF"):
+                if feat is None:
+                    feat = _encode(clip_model, clip_params, res_i[0])[:, None, :]
+                image_input = feat
+            else:
+                image_input = res_i[0]
+            logits, _ = apply(params, inputs, image_input)
+            res[model_name].append(seq_ce(logits, targets))
+    return dict(res)

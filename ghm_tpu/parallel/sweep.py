@@ -1,0 +1,288 @@
+"""Hyperparameter-sweep parallelism: N models trained as ONE compiled program.
+
+The reference parallelizes its p_flip sweeps by launching 20 background
+shell processes on one GPU (``scripts/experiments/exp_clip_standardTF.sh:6-43``).
+The TPU-native replacement: stack the 20 tree-transition tensors on a
+leading axis, ``vmap`` the entire training step (on-device sampling, BP
+targets, forward/backward, per-model gradient clipping, AdamW) over that
+axis, and run the whole sweep as a single XLA program.  Each model sees
+exactly its own gradients (the sweep objective is the *sum* of per-model
+losses; AdamW moments are elementwise so the stacked update equals N
+independent updates), and per-model gradient clipping is vmapped.
+
+Checkpoints are written per model into the reference folder layout, so the
+evaluation layer consumes sweep-trained runs identically to single runs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ghm_tpu.data.samplers import clip_batch, cdns_batch, nwp_batch
+from ghm_tpu.optim import adamw_init, adamw_update, lr_cosine_schedule
+from ghm_tpu.utils import checkpoint as ckpt
+
+__all__ = ["SweepSpec", "run_sweep", "clip_sweep_spec", "cdns_sweep_spec",
+           "nwp_sweep_spec"]
+
+
+def _stack_transitions(samplers, attr):
+    trans = [getattr(s, attr) for s in samplers]
+    n_layer = len(trans[0])
+    return tuple(jnp.stack([t[l] for t in trans]) for l in range(n_layer))
+
+
+def clip_per_model(grads, max_norm):
+    """Per-model global-norm clipping over stacked [N, ...] grad leaves."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    sq = sum(jnp.sum(g.reshape(g.shape[0], -1) ** 2, axis=1) for g in leaves)
+    norm = jnp.sqrt(sq)  # [N]
+    coef = jnp.minimum(max_norm / (norm + 1e-6), 1.0)
+
+    def scale(g):
+        return g * coef.reshape((-1,) + (1,) * (g.ndim - 1))
+
+    return jax.tree_util.tree_map(scale, grads)
+
+
+@dataclass
+class SweepSpec:
+    """Everything needed to run one vmapped sweep."""
+
+    name: str
+    n_models: int
+    sample_fn: Callable      # key -> stacked batch pytree (leading axis N)
+    loss_fn: Callable        # (stacked_params, stacked_batch) -> (loss_i, aux_i) per model (unvmapped single-model fn)
+    init_fn: Callable        # key -> single-model params
+    payload_fn: Callable     # single-model params -> checkpoint weight entries
+    run_dirs: Sequence[str]  # per-model checkpoint run directories
+    bayes: Sequence[tuple]
+
+
+def _make_spec(cfg, p_list, builder, batch_fn, batch_kwargs, sampler_attr_pair,
+               run_dir_fn, n_bayes):
+    from ghm_tpu.utils.checkpoint import tree_folder_name
+
+    tasks, samplers = [], []
+    for i, p in enumerate(p_list):
+        c = type(cfg)(**{**cfg.__dict__, "p_ttree_flip": p, "p_itree_flip": p})
+        task, sampler, _ = builder(
+            c, bayes_key=jax.random.fold_in(jax.random.PRNGKey(7), i),
+            n_bayes=n_bayes)
+        tasks.append(task)
+        samplers.append(sampler)
+    t_stack = _stack_transitions(samplers, sampler_attr_pair[0])
+    i_stack = _stack_transitions(samplers, sampler_attr_pair[1])
+    N = len(p_list)
+
+    def sample_fn(key):
+        keys = jax.random.split(key, N)
+        fn = partial(batch_fn, **batch_kwargs)
+        return jax.vmap(fn)(keys, t_stack, i_stack)
+
+    # All tasks share model architecture and loss structure; use task 0's
+    # single-model functions and vmap them at the call site.
+    template = tasks[0]
+
+    def loss_fn(params_i, raw_batch_i):
+        return template.loss_fn(params_i, raw_batch_i)
+
+    run_dirs = [run_dir_fn(p) for p in p_list]
+    return SweepSpec(name=template.name, n_models=N, sample_fn=sample_fn,
+                     loss_fn=loss_fn, init_fn=template.init_fn,
+                     payload_fn=template.payload_fn, run_dirs=run_dirs,
+                     bayes=[t.bayes for t in tasks]), tasks
+
+
+def clip_sweep_spec(cfg, p_list, model_name, n_bayes=10000, logs_root="./logs"):
+    from ghm_tpu.train.tasks import build_clip_task
+
+    kwargs = dict(variable_type=cfg.variable_type, K=cfg.K,
+                  batch_size=cfg.batch_size, guide=bool(cfg.clip_guide),
+                  n_childs=(cfg.n_ttree_child, cfg.n_itree_child))
+    ts = time.strftime("%Y%m%d-%H%M%S", time.localtime())
+
+    def run_dir(p):
+        tf = ckpt.tree_folder_name(cfg.K, cfg.n_ttree_layer, cfg.n_ttree_child,
+                                   p, cfg.n_itree_layer, cfg.n_itree_child, p,
+                                   cfg.flip_scale)
+        return os.path.join(logs_root, cfg.job_name, tf, model_name, ts)
+
+    spec, tasks = _make_spec(cfg, p_list, build_clip_task, clip_batch, kwargs,
+                             ("t_transition", "i_transition"), run_dir, n_bayes)
+
+    raw_sample = spec.sample_fn
+
+    def adapt(raw):
+        res_t, res_i = raw
+        return {"t_leaves": res_t[0], "t_guides": res_t[2],
+                "i_leaves": res_i[0], "i_guides": res_i[2]}
+
+    spec.sample_fn = lambda key: adapt(raw_sample(key))
+    return spec
+
+
+def cdns_sweep_spec(cfg, p_list, model_name, n_bayes=10000, logs_root="./logs"):
+    from ghm_tpu.train.tasks import build_cdns_task
+
+    kwargs = dict(variable_type=cfg.variable_type, sigma=cfg.sigma,
+                  batch_size=cfg.batch_size, guide=bool(cfg.guide),
+                  n_childs=(cfg.n_ttree_child, cfg.n_itree_child))
+    ts = time.strftime("%Y%m%d-%H%M%S", time.localtime())
+
+    def run_dir(p):
+        tf = ckpt.tree_folder_name(cfg.K, cfg.n_ttree_layer, cfg.n_ttree_child,
+                                   p, cfg.n_itree_layer, cfg.n_itree_child, p,
+                                   cfg.flip_scale)
+        return os.path.join(logs_root, cfg.job_name, tf, model_name, ts)
+
+    spec, tasks = _make_spec(cfg, p_list, build_cdns_task, cdns_batch, kwargs,
+                             ("t_transition", "i_transition"), run_dir, n_bayes)
+
+    raw_sample = spec.sample_fn
+
+    def adapt(raw):
+        res_t, res_i = raw
+        return {"t_leaves": res_t[0], "t_guides": res_t[2],
+                "z": res_i[0], "clean": res_i[1].astype(jnp.float32),
+                "i_guides": res_i[2], "posterior": res_i[3]}
+
+    spec.sample_fn = lambda key: adapt(raw_sample(key))
+    return spec
+
+
+def nwp_sweep_spec(cfg, p_list, model_name, n_bayes=10000, logs_root="./logs"):
+    from ghm_tpu.train.tasks import build_nwp_task
+
+    kwargs = dict(variable_type=cfg.variable_type,
+                  batch_size=cfg.batch_size, guide=bool(cfg.guide),
+                  n_childs=(cfg.n_ttree_child, cfg.n_itree_child))
+    ts = time.strftime("%Y%m%d-%H%M%S", time.localtime())
+
+    def run_dir(p):
+        tf = ckpt.tree_folder_name(cfg.K, cfg.n_ttree_layer, cfg.n_ttree_child,
+                                   p, cfg.n_itree_layer, cfg.n_itree_child, p,
+                                   cfg.flip_scale)
+        return os.path.join(logs_root, cfg.job_name, tf, model_name, ts)
+
+    spec, tasks = _make_spec(cfg, p_list, build_nwp_task, nwp_batch, kwargs,
+                             ("t_transition", "i_transition"), run_dir, n_bayes)
+
+    raw_sample = spec.sample_fn
+
+    def adapt(raw):
+        res_t, res_i = raw
+        return {"inputs": res_t[0], "targets": res_t[1], "t_guides": res_t[2],
+                "pp": res_t[3], "i_leaves": res_i[0], "i_guides": res_i[2]}
+
+    spec.sample_fn = lambda key: adapt(raw_sample(key))
+    return spec
+
+
+def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
+              max_norm=1.0, weight_decay=0.001, log_interval=20,
+              eval_interval=200, seed=224, logger=None, save=True):
+    """Train all sweep models simultaneously; write per-model checkpoints."""
+    import logging
+
+    logger = logger or logging.getLogger("ghm_tpu")
+    N = spec.n_models
+    init_keys = jax.random.split(jax.random.PRNGKey(seed), N)
+    params = jax.vmap(spec.init_fn)(init_keys)
+    opt_state = adamw_init(params)
+    base_key = jax.random.PRNGKey(0xA11CE)
+
+    def one_step(params, opt_state, it):
+        key = jax.random.fold_in(base_key, it)
+        batch = spec.sample_fn(key)
+        vloss = jax.vmap(spec.loss_fn)
+
+        def total(p):
+            losses, aux = vloss(p, batch)
+            # Sum keeps each model's gradient exactly its own gradient.
+            return jnp.sum(losses), {**aux, "ploss": losses}
+
+        (loss, aux), grads = jax.value_and_grad(total, has_aux=True)(params)
+        grads = clip_per_model(grads, max_norm)
+        lr = lr_cosine_schedule(it, lr_max, lr_min, warmup_iters, total_iters)
+        params, opt_state = adamw_update(params, grads, opt_state, lr,
+                                         weight_decay=weight_decay)
+        return params, opt_state, aux
+
+    chunk = max(1, int(log_interval))
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run_chunk(params, opt_state, start):
+        def body(carry, i):
+            params, opt_state = carry
+            params, opt_state, aux = one_step(params, opt_state, start + i)
+            return (params, opt_state), aux
+
+        (params, opt_state), auxs = jax.lax.scan(body, (params, opt_state),
+                                                 jnp.arange(chunk))
+        return params, opt_state, auxs
+
+    total = int(total_iters)
+    ploss_hist = np.zeros((N, total))
+    loss_hist = np.zeros((N, total))
+    compare_hist = np.zeros((N, total))
+    has_compare = False
+    t0 = time.time()
+    it = 0
+    while it < total:
+        n = min(chunk, total - it)
+        if n != chunk:
+            # tail chunk: re-jit at the smaller static size
+            tail = jax.jit(lambda p, o, s: _run_n(one_step, p, o, s, n))
+            params, opt_state, auxs = tail(params, opt_state, it)
+        else:
+            params, opt_state, auxs = run_chunk(params, opt_state, it)
+        auxs = jax.device_get(auxs)
+        # auxs leaves are [chunk, N]
+        loss_hist[:, it : it + n] = np.asarray(auxs["loss"]).T
+        ploss_hist[:, it : it + n] = np.asarray(auxs["ploss"]).T
+        if "compare" in auxs:
+            compare_hist[:, it : it + n] = np.asarray(auxs["compare"]).T
+            has_compare = True
+        it += n
+        if it % (chunk * 5) == 0 or it >= total:
+            logger.info(
+                f"sweep[{spec.name}] iter {it}/{total} "
+                f"mean loss {loss_hist[:, max(0, it - n):it].mean():.4f} "
+                f"({time.time() - t0:.1f}s)")
+    results = []
+    for i, run_dir in enumerate(spec.run_dirs):
+        params_i = jax.tree_util.tree_map(lambda x: x[i], params)
+        payload = dict(spec.payload_fn(params_i))
+        payload.update({
+            "iter": total,
+            "loss_history": loss_hist[i],
+            "ploss_history": ploss_hist[i],
+            "bayes": spec.bayes[i][0],
+        })
+        if has_compare:
+            payload["compare"] = compare_hist[i]
+        if save:
+            path = os.path.join(run_dir, "checkpoint.pth")
+            ckpt.save_checkpoint(path, payload)
+        results.append(payload)
+    return params, results
+
+
+def _run_n(one_step, params, opt_state, start, n):
+    def body(carry, i):
+        params, opt_state = carry
+        params, opt_state, aux = one_step(params, opt_state, start + i)
+        return (params, opt_state), aux
+
+    (params, opt_state), auxs = jax.lax.scan(body, (params, opt_state),
+                                             jnp.arange(n))
+    return params, opt_state, auxs

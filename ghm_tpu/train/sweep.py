@@ -1,0 +1,92 @@
+"""Sweep training CLI: train a whole p_flip grid as one compiled program.
+
+TPU-native replacement for the reference's experiment scripts, which launch
+20 background single-GPU processes per variant
+(``scripts/experiments/exp_*_*.sh``).  Here the 20 models train
+simultaneously via ``vmap`` over stacked transition tensors
+(``ghm_tpu.parallel.sweep``), writing per-p checkpoints in the reference
+folder layout.
+
+Example (standard-TF CLIP sweep, equivalent to exp_clip_standardTF.sh)::
+
+    python -m ghm_tpu.train.sweep --task=clip --job_name=CLIP \
+        --p_list=0.02:0.40:0.02 \
+        --clip_tmodel_nlayer=5 --clip_imodel_nlayer=5 \
+        --clip_tmodel_deb=128 --clip_imodel_deb=128 --clip_layernorm=True \
+        --clip_guide=False --lr_max=3e-4 --lr_min=3e-7 --total_iters=3000
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ghm_tpu.parallel.sweep import (
+    cdns_sweep_spec,
+    clip_sweep_spec,
+    nwp_sweep_spec,
+    run_sweep,
+)
+from ghm_tpu.utils.config import (
+    ClipModelConfig,
+    DoubleTreeConfig,
+    ModelConfig,
+    UtilConfig,
+    parse_config,
+)
+from ghm_tpu.utils.logger import gen_logger
+
+
+@dataclass
+class SweepConfig(UtilConfig, DoubleTreeConfig, ClipModelConfig, ModelConfig):
+    task: Optional[str] = "clip"
+    p_list: Optional[str] = "0.02:0.40:0.02"
+    job_name: Optional[str] = "sweep"
+
+
+def parse_p_list(spec: str):
+    if ":" in spec:
+        lo, hi, step = (float(x) for x in spec.split(":"))
+        n = int(round((hi - lo) / step)) + 1
+        return [round(lo + i * step, 4) for i in range(n)]
+    return [float(x) for x in spec.split(",")]
+
+
+def main(argv=None):
+    cfg = parse_config(SweepConfig, argv)
+    p_list = parse_p_list(cfg.p_list)
+    logger = gen_logger(".", cfg, raw=True)
+    logger.info(f"sweep task={cfg.task} over {len(p_list)} p values: {p_list}")
+
+    if cfg.task == "clip":
+        model_name = (f"L{cfg.clip_tmodel_nlayer}H{cfg.clip_tmodel_nhead}"
+                      f"D{cfg.clip_tmodel_deb}_L{cfg.clip_imodel_nlayer}"
+                      f"H{cfg.clip_imodel_nhead}D{cfg.clip_imodel_deb}")
+        model_name = ("GT_" if cfg.clip_guide else "TF_") + model_name
+        spec = clip_sweep_spec(cfg, p_list, model_name)
+        total = cfg.total_iters + 1  # reference CLIP quirk (train_CLIP.py:139)
+    elif cfg.task == "cdns":
+        model_name = f"L{cfg.n_model_layer}H{cfg.n_head}D{cfg.d_eb}"
+        model_name = ("GT_" if cfg.guide else "JT_") + model_name
+        spec = cdns_sweep_spec(cfg, p_list, model_name)
+        total = cfg.total_iters
+    elif cfg.task == "nwp":
+        model_name = f"L{cfg.n_model_layer}H{cfg.n_head}D{cfg.d_eb}"
+        model_name = ("GT_" if cfg.guide else "JT_") + model_name
+        spec = nwp_sweep_spec(cfg, p_list, model_name)
+        total = cfg.total_iters
+    else:
+        raise SystemExit(f"unknown sweep task {cfg.task!r}")
+
+    for p, (b, s) in zip(p_list, spec.bayes):
+        logger.info(f"p={p}: Bayes {b:.4f} (±{s:.4f})")
+
+    run_sweep(spec, total_iters=total, lr_max=cfg.lr_max, lr_min=cfg.lr_min,
+              warmup_iters=cfg.warmup_iters, max_norm=cfg.max_norm,
+              log_interval=cfg.log_interval, eval_interval=cfg.eval_interval,
+              seed=cfg.seed, logger=logger, save=not cfg.raw)
+    logger.info("sweep complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -109,7 +109,7 @@ def build_clip_task(cfg, bayes_key=None, n_bayes=10000):
         return {"tmodel": ckpt.unpack_params(payload["tmodel_state_dict"]),
                 "imodel": ckpt.unpack_params(payload["imodel_state_dict"])}
 
-    bayes = sampler.get_bayes(bayes_key or jax.random.PRNGKey(0), n_bayes)
+    bayes = sampler.get_bayes(jax.random.PRNGKey(0) if bayes_key is None else bayes_key, n_bayes)
     return Task(name="clip", sample_fn=sample_fn, loss_fn=loss_fn,
                 init_fn=init_fn, payload_fn=payload_fn, load_fn=load_fn,
                 bayes=bayes), sampler, (tmodel, imodel)
@@ -157,7 +157,7 @@ def build_cdns_task(cfg, bayes_key=None, n_bayes=10000):
     def payload_fn(params):
         return {"model_state_dict": ckpt.pack_params(params)}
 
-    bayes = sampler.get_bayes(bayes_key or jax.random.PRNGKey(0), n_bayes)
+    bayes = sampler.get_bayes(jax.random.PRNGKey(0) if bayes_key is None else bayes_key, n_bayes)
     return Task(name="cond_denoising", sample_fn=sample_fn, loss_fn=loss_fn,
                 init_fn=model.init, payload_fn=payload_fn,
                 load_fn=lambda p: ckpt.unpack_params(p["model_state_dict"]),
@@ -206,7 +206,7 @@ def build_nwp_task(cfg, bayes_key=None, n_bayes=10000):
     def payload_fn(params):
         return {"model_state_dict": ckpt.pack_params(params)}
 
-    bayes = sampler.get_bayes(bayes_key or jax.random.PRNGKey(0), n_bayes)
+    bayes = sampler.get_bayes(jax.random.PRNGKey(0) if bayes_key is None else bayes_key, n_bayes)
     return Task(name="next_word_prediction", sample_fn=sample_fn,
                 loss_fn=loss_fn, init_fn=model.init, payload_fn=payload_fn,
                 load_fn=lambda p: ckpt.unpack_params(p["model_state_dict"]),
@@ -341,7 +341,7 @@ def build_sequential_dns_task(cfg, clip_feature="GT", logs_root="logs",
     def payload_fn(params):
         return {"model_state_dict": ckpt.pack_params(params)}
 
-    bayes = sampler.get_bayes(bayes_key or jax.random.PRNGKey(0), n_bayes)
+    bayes = sampler.get_bayes(jax.random.PRNGKey(0) if bayes_key is None else bayes_key, n_bayes)
     return Task(name="Sequential_CDNS", sample_fn=sample_fn, loss_fn=loss_fn,
                 init_fn=model.init, payload_fn=payload_fn,
                 load_fn=lambda p: ckpt.unpack_params(p["model_state_dict"]),
@@ -403,8 +403,8 @@ def build_sequential_nwp_task(cfg, clip_feature="GT", logs_root="logs",
         return {"model_state_dict": ckpt.pack_params(params)}
 
     # Bayes is only computed for persistent runs (reference :78-84).
-    bayes = (sampler.get_bayes(bayes_key or jax.random.PRNGKey(0), n_bayes)
-             if not raw else (0.0, 0.0))
+    bayes = ((0.0, 0.0) if raw else sampler.get_bayes(
+        jax.random.PRNGKey(0) if bayes_key is None else bayes_key, n_bayes))
     return Task(name="Sequential_NWP", sample_fn=sample_fn, loss_fn=loss_fn,
                 init_fn=model.init, payload_fn=payload_fn,
                 load_fn=lambda p: ckpt.unpack_params(p["model_state_dict"]),

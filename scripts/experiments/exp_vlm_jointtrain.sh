@@ -1,0 +1,10 @@
+#!/bin/bash
+# Joint-training (JT) VLM sweep over p_flip=0.02..0.40 (one vmapped program).
+cd "$(dirname "$0")/../.."
+python -m ghm_tpu.train.sweep --task=nwp --job_name=VLM \
+    --p_list=0.02:0.40:0.02 \
+    --n_ttree_layer=4 --n_itree_layer=4 --n_ttree_child=3 --n_itree_child=3 \
+    --flip_scale=1 --batch_size=128 --variable_type=10 \
+    --d_eb=256 --n_model_layer=9 --n_head=4 \
+    --layernorm=True --normalize_attn=True --guide=False \
+    --lr_max=3e-4 --lr_min=3e-7 --total_iters=30000 --penalty=0.001 --raw=False
