@@ -17,6 +17,7 @@ from dataclasses import asdict, is_dataclass
 __all__ = ["gen_logger"]
 
 _CONSOLE_ATTACHED = False
+_FILE_HANDLER = None
 
 
 def gen_logger(directory, config, raw=True):
@@ -25,10 +26,16 @@ def gen_logger(directory, config, raw=True):
     Uses the named ``ghm_tpu`` logger rather than the root logger so that
     enabling DEBUG here does not unleash third-party (jax) debug spam.
     """
-    global _CONSOLE_ATTACHED
+    global _CONSOLE_ATTACHED, _FILE_HANDLER
     logger = logging.getLogger("ghm_tpu")
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
+    # Multiple runs may share one process (in-process suite driver, sweeps):
+    # detach the previous run's training.log handler instead of accumulating.
+    if _FILE_HANDLER is not None:
+        logger.removeHandler(_FILE_HANDLER)
+        _FILE_HANDLER.close()
+        _FILE_HANDLER = None
     formatter = logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
     if not _CONSOLE_ATTACHED:
         console = logging.StreamHandler()
@@ -50,4 +57,5 @@ def gen_logger(directory, config, raw=True):
         log_handler.setLevel(logging.DEBUG)
         log_handler.setFormatter(formatter)
         logger.addHandler(log_handler)
+        _FILE_HANDLER = log_handler
     return logger
