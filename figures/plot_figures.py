@@ -164,24 +164,37 @@ def fig7():
         return
     import torch
 
-    blob = torch.load(tensor_path, map_location="cpu")
+    blob = torch.load(str(tensor_path), map_location="cpu", mmap=True,
+                      weights_only=False)
     sims, targets = blob["similarities"], blob["targets"]
-    n_templates = sims.shape[1]
-    rng = np.random.RandomState(0)
-    xs = np.arange(1, n_templates + 1)
-    metrics = {"loss": [], "acc1": [], "acc5": []}
-    for n in xs:
-        loss_v, a1_v, a5_v = [], [], []
-        for _ in range(32):
-            idx = rng.permutation(n_templates)[:n]
-            logits = sims[:, idx, :].mean(dim=1)
-            loss_v.append(torch.nn.functional.cross_entropy(logits, targets).item())
-            top5 = logits.topk(5, dim=1).indices
-            a1_v.append((top5[:, 0] == targets).float().mean().item())
-            a5_v.append((top5 == targets[:, None]).any(dim=1).float().mean().item())
-        metrics["loss"].append(np.mean(loss_v))
-        metrics["acc1"].append(np.mean(a1_v))
-        metrics["acc5"].append(np.mean(a5_v))
+    xs = np.asarray(blob["num_templates_list"], dtype=np.int64)
+    n_total = sims.shape[1]
+    n_resamples, batch = 32, 1024
+    rng = np.random.default_rng(0)
+    metrics = {"loss": np.zeros(len(xs)), "acc1": np.zeros(len(xs)),
+               "acc5": np.zeros(len(xs))}
+    with torch.inference_mode():
+        for _ in range(n_resamples):
+            perm = torch.as_tensor(rng.permutation(n_total))
+            loss_s = np.zeros(len(xs))
+            a1_s = np.zeros(len(xs))
+            a5_s = np.zeros(len(xs))
+            for start in range(0, targets.numel(), batch):
+                sl = slice(start, start + batch)
+                s = sims[sl][:, perm, :].float()
+                t = targets[sl]
+                cums = torch.cumsum(s, dim=1)
+                for j, n in enumerate(xs):
+                    logits = cums[:, n - 1, :] / n
+                    loss_s[j] += torch.nn.functional.cross_entropy(
+                        logits, t, reduction="sum").item()
+                    top5 = logits.topk(5, dim=1).indices
+                    a1_s[j] += (top5[:, 0] == t).sum().item()
+                    a5_s[j] += (top5 == t[:, None]).any(dim=1).sum().item()
+            n_samples = targets.numel()
+            metrics["loss"] += loss_s / n_samples / n_resamples
+            metrics["acc1"] += a1_s / n_samples / n_resamples
+            metrics["acc5"] += a5_s / n_samples / n_resamples
     for letter, (key, ylabel) in zip("abc", [("loss", "loss"),
                                              ("acc1", "top-1 accuracy"),
                                              ("acc5", "top-5 accuracy")]):

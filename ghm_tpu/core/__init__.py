@@ -13,6 +13,7 @@ from ghm_tpu.core.bp import (
     bp_cls,
     bp_dns,
     bp_nwp_autoregressive,
+    bp_nwp_single_position,
     guided_cls,
     guided_dns,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "bp_cls",
     "bp_dns",
     "bp_nwp_autoregressive",
+    "bp_nwp_single_position",
     "guided_cls",
     "guided_dns",
 ]

@@ -35,6 +35,7 @@ __all__ = [
     "bp_cls",
     "bp_dns",
     "bp_nwp_autoregressive",
+    "bp_nwp_single_position",
     "guided_cls",
     "guided_dns",
 ]
@@ -346,3 +347,16 @@ def bp_nwp_autoregressive(
     guided.append(root_g)  # index L
     guided.extend(up_g)  # indices L+1 .. 2L
     return pp, tuple(guided)
+
+
+def bp_nwp_single_position(leaf_values, transitions, position: int,
+                           external=None):
+    """Posterior of one next-token position: ``p(x_{pos+1} | x_{<=pos}, ext)``.
+
+    API counterpart of the reference's single-position debug routines
+    ``BP_dummy_NWP``/``BP_NWP`` (``data_random_GHM.py:223-334``), which the
+    autoregressive pass subsumes; this simply slices the vectorized result.
+    Returns ``[B, V]``.
+    """
+    pp, _ = bp_nwp_autoregressive(leaf_values, transitions, external=external)
+    return pp[:, position, :]
