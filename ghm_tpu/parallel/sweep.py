@@ -31,7 +31,7 @@ from ghm_tpu.optim import adamw_init, adamw_update, lr_cosine_schedule
 from ghm_tpu.utils import checkpoint as ckpt
 
 __all__ = ["SweepSpec", "run_sweep", "clip_sweep_spec", "cdns_sweep_spec",
-           "nwp_sweep_spec"]
+           "nwp_sweep_spec", "sdns_sweep_spec", "snwp_sweep_spec"]
 
 
 def _stack_transitions(samplers, attr):
@@ -286,3 +286,164 @@ def _run_n(one_step, params, opt_state, start, n):
     (params, opt_state), auxs = jax.lax.scan(body, (params, opt_state),
                                              jnp.arange(n))
     return params, opt_state, auxs
+
+
+# ----------------------------------------------------------------------
+# Sequential-task sweeps: the frozen per-p CLIP encoders are stacked on the
+# sweep axis and ride through the batch pytree, so the vmapped loss sees its
+# own model's frozen features (reference trains these as 20 more background
+# processes; scripts/experiments/exp_{cdm,vlm}_{standardTF,shallowTF}.sh).
+# ----------------------------------------------------------------------
+
+def _stacked_clip(cfg, p_list, clip_feature, side, n_token, logs_root):
+    from ghm_tpu.train.tasks import load_frozen_clip_encoder
+
+    model = None
+    stacked = None
+    all_params = []
+    for p in p_list:
+        tf = ckpt.tree_folder_name(cfg.K, cfg.n_ttree_layer, cfg.n_ttree_child,
+                                   p, cfg.n_itree_layer, cfg.n_itree_child, p,
+                                   cfg.flip_scale)
+        model, params = load_frozen_clip_encoder(tf, clip_feature, side,
+                                                 n_token, cfg.variable_type,
+                                                 logs_root)
+        all_params.append(params)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *all_params)
+    return model, stacked
+
+
+def sdns_sweep_spec(cfg, p_list, model_name, clip_feature="TF",
+                    n_bayes=10000, logs_root="./logs"):
+    """Sequential-CDM sweep: one vmapped program across the p grid."""
+    from ghm_tpu.models import ConditionalDenoiseEncoderTransformer
+    from ghm_tpu.models.losses import conditional_guided_ls_loss, ls_loss
+    from ghm_tpu.data import ConditionalDenoiseSampler
+
+    guide = bool(cfg.guide)
+    B = cfg.batch_size
+    n_childs = (cfg.n_ttree_child, cfg.n_itree_child)
+    samplers = [ConditionalDenoiseSampler(
+        [cfg.n_ttree_layer, cfg.n_itree_layer], list(n_childs),
+        p_flips=[p, p], sigma=cfg.sigma, flip_scale=cfg.flip_scale,
+        variable_type=cfg.variable_type, seedtree=42) for p in p_list]
+    d_i = samplers[0].n_i_leaves
+    clip_model, clip_stack = _stacked_clip(cfg, p_list, clip_feature, "text",
+                                           samplers[0].n_t_leaves, logs_root)
+    model = ConditionalDenoiseEncoderTransformer(
+        n_token=d_i + 1, n_i_token=d_i, num_class=cfg.variable_type,
+        n_embd=cfg.d_eb, n_layer=cfg.n_model_layer,
+        n_guided_layers=[1, cfg.n_itree_layer], n_head=cfg.n_head,
+        n_mlp_hidden=4 * cfg.d_eb, activation="softmax",
+        normalize_attn=cfg.normalize_attn, layernorm=cfg.layernorm,
+        maxnorm=False, sequential=True, guide=guide)
+    t_stack = _stack_transitions(samplers, "t_transition")
+    i_stack = _stack_transitions(samplers, "i_transition")
+    N = len(p_list)
+
+    def sample_fn(key):
+        keys = jax.random.split(key, N)
+        fn = partial(cdns_batch, variable_type=cfg.variable_type,
+                     sigma=cfg.sigma, batch_size=B, guide=guide,
+                     n_childs=n_childs)
+        res_t, res_i = jax.vmap(fn)(keys, t_stack, i_stack)
+        return {"t_leaves": res_t[0], "z": res_i[0],
+                "clean": res_i[1].astype(jnp.float32),
+                "i_guides": res_i[2], "posterior": res_i[3],
+                "clip_params": clip_stack}
+
+    def loss_fn(params_i, batch_i):
+        feat = clip_model.apply(batch_i["clip_params"], batch_i["t_leaves"])[0]
+        feat = jax.lax.stop_gradient(feat)[:, None, :]
+        pred, guides = model.apply(params_i, feat, batch_i["z"])
+        targets = (batch_i["clean"], ((feat, feat), batch_i["i_guides"]))
+        loss, p0, p1, p2, p3 = conditional_guided_ls_loss(
+            (pred, guides), targets, penalty=cfg.penalty, guide=guide)
+        aux = {"loss": ls_loss(pred, batch_i["clean"]),
+               "compare": ls_loss(pred, batch_i["posterior"])}
+        return loss, aux
+
+    ts = time.strftime("%Y%m%d-%H%M%S", time.localtime())
+
+    def run_dir(p):
+        tf = ckpt.tree_folder_name(cfg.K, cfg.n_ttree_layer, cfg.n_ttree_child,
+                                   p, cfg.n_itree_layer, cfg.n_itree_child, p,
+                                   cfg.flip_scale)
+        return os.path.join(logs_root, cfg.job_name, tf, model_name, ts)
+
+    bayes = [s.get_bayes(jax.random.fold_in(jax.random.PRNGKey(7), i), n_bayes)
+             for i, s in enumerate(samplers)]
+    return SweepSpec(
+        name="Sequential_CDNS", n_models=N, sample_fn=sample_fn,
+        loss_fn=loss_fn, init_fn=model.init,
+        payload_fn=lambda p: {"model_state_dict": ckpt.pack_params(p)},
+        run_dirs=[run_dir(p) for p in p_list], bayes=bayes)
+
+
+def snwp_sweep_spec(cfg, p_list, model_name, clip_feature="TF",
+                    n_bayes=10000, logs_root="./logs"):
+    """Sequential-VLM sweep: one vmapped program across the p grid."""
+    from ghm_tpu.models import AutoRegressiveTransformer
+    from ghm_tpu.models.losses import (conditional_guided_ce_loss,
+                                       cross_entropy, kl_divergence)
+    from ghm_tpu.data import NextWordPredictSampler
+
+    guide = bool(cfg.guide)
+    B = cfg.batch_size
+    n_childs = (cfg.n_ttree_child, cfg.n_itree_child)
+    samplers = [NextWordPredictSampler(
+        [cfg.n_ttree_layer, cfg.n_itree_layer], list(n_childs),
+        p_flips=[p, p], flip_scale=cfg.flip_scale,
+        variable_type=cfg.variable_type, seedtree=42) for p in p_list]
+    clip_model, clip_stack = _stacked_clip(cfg, p_list, clip_feature, "image",
+                                           samplers[0].n_i_leaves, logs_root)
+    model = AutoRegressiveTransformer(
+        n_token=samplers[0].n_t_leaves, n_i_token=1,
+        num_class=cfg.variable_type, n_embd=cfg.d_eb,
+        n_layer=cfg.n_model_layer, n_guided_layers=[cfg.n_ttree_layer, 1],
+        n_head=cfg.n_head, n_mlp_hidden=4 * cfg.d_eb, auto_regressive=True,
+        activation="softmax", normalize_attn=cfg.normalize_attn,
+        layernorm=cfg.layernorm, sequential=True, guide=guide)
+    t_stack = _stack_transitions(samplers, "t_transition")
+    i_stack = _stack_transitions(samplers, "i_transition")
+    N = len(p_list)
+
+    def sample_fn(key):
+        keys = jax.random.split(key, N)
+        fn = partial(nwp_batch, variable_type=cfg.variable_type,
+                     batch_size=B, guide=guide, n_childs=n_childs)
+        res_t, res_i = jax.vmap(fn)(keys, t_stack, i_stack)
+        return {"inputs": res_t[0], "targets": res_t[1],
+                "t_guides": res_t[2], "pp": res_t[3],
+                "i_leaves": res_i[0], "clip_params": clip_stack}
+
+    def loss_fn(params_i, batch_i):
+        feat = clip_model.apply(batch_i["clip_params"], batch_i["i_leaves"])[0]
+        feat = jax.lax.stop_gradient(feat)[:, None, :]
+        logits, guides = model.apply(params_i, batch_i["inputs"], feat)
+        targets = (batch_i["targets"], (batch_i["t_guides"], (feat, feat)))
+        loss, p0, p1, p2, p3 = conditional_guided_ce_loss(
+            (logits, guides), targets, penalty=cfg.penalty, guide=guide)
+        ce = cross_entropy(logits.reshape(-1, logits.shape[-1]),
+                           batch_i["targets"].reshape(-1))
+        plain = jnp.mean(jnp.mean(
+            ce.reshape(-1, batch_i["targets"].shape[1]), axis=1))
+        aux = {"loss": plain,
+               "compare": kl_divergence(logits, batch_i["pp"])}
+        return loss, aux
+
+    ts = time.strftime("%Y%m%d-%H%M%S", time.localtime())
+
+    def run_dir(p):
+        tf = ckpt.tree_folder_name(cfg.K, cfg.n_ttree_layer, cfg.n_ttree_child,
+                                   p, cfg.n_itree_layer, cfg.n_itree_child, p,
+                                   cfg.flip_scale)
+        return os.path.join(logs_root, cfg.job_name, tf, model_name, ts)
+
+    bayes = [s.get_bayes(jax.random.fold_in(jax.random.PRNGKey(7), i), n_bayes)
+             for i, s in enumerate(samplers)]
+    return SweepSpec(
+        name="Sequential_NWP", n_models=N, sample_fn=sample_fn,
+        loss_fn=loss_fn, init_fn=model.init,
+        payload_fn=lambda p: {"model_state_dict": ckpt.pack_params(p)},
+        run_dirs=[run_dir(p) for p in p_list], bayes=bayes)

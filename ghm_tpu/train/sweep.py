@@ -26,6 +26,8 @@ from ghm_tpu.parallel.sweep import (
     clip_sweep_spec,
     nwp_sweep_spec,
     run_sweep,
+    sdns_sweep_spec,
+    snwp_sweep_spec,
 )
 from ghm_tpu.utils.config import (
     ClipModelConfig,
@@ -41,6 +43,7 @@ from ghm_tpu.utils.logger import gen_logger
 class SweepConfig(UtilConfig, DoubleTreeConfig, ClipModelConfig, ModelConfig):
     task: Optional[str] = "clip"
     p_list: Optional[str] = "0.02:0.40:0.02"
+    clip_feature: Optional[str] = "TF"
     job_name: Optional[str] = "sweep"
 
 
@@ -74,6 +77,13 @@ def main(argv=None):
         model_name = f"L{cfg.n_model_layer}H{cfg.n_head}D{cfg.d_eb}"
         model_name = ("GT_" if cfg.guide else "JT_") + model_name
         spec = nwp_sweep_spec(cfg, p_list, model_name)
+        total = cfg.total_iters
+    elif cfg.task in ("sdns", "snwp"):
+        model_name = f"L{cfg.n_model_layer}H{cfg.n_head}D{cfg.d_eb}"
+        prefix = "GT_" if cfg.guide else ("ShT_" if cfg.n_model_layer == 1 else "StT_")
+        model_name = prefix + model_name
+        builder = sdns_sweep_spec if cfg.task == "sdns" else snwp_sweep_spec
+        spec = builder(cfg, p_list, model_name, clip_feature=cfg.clip_feature)
         total = cfg.total_iters
     else:
         raise SystemExit(f"unknown sweep task {cfg.task!r}")
