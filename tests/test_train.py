@@ -190,3 +190,37 @@ class TestConfigCLI:
     def test_unknown_flag_rejected(self):
         with pytest.raises(SystemExit):
             parse_config(ClipCfg, ["--nope=1"])
+
+
+class TestSequentialSweep:
+    def test_sdns_sweep_with_stacked_clip(self, tmp_path):
+        """Sequential-CDM sweep: per-p frozen CLIP params stacked on the
+        sweep axis; two tiny p points, one vmapped program."""
+        from ghm_tpu.parallel.sweep import sdns_sweep_spec, run_sweep
+        from ghm_tpu.train.tasks import build_clip_task
+        from ghm_tpu.train.trainer import Trainer
+
+        # Train + save a tiny L5/D128-compatible CLIP checkpoint per p.
+        for p in (0.1, 0.3):
+            cfg = tiny_clip_cfg(clip_tmodel_nlayer=5, clip_imodel_nlayer=5,
+                                clip_tmodel_deb=128, clip_imodel_deb=128,
+                                p_ttree_flip=p, p_itree_flip=p,
+                                total_iters=2, log_interval=1)
+            task, _, _ = build_clip_task(cfg, n_bayes=64)
+            tree = ckpt.tree_folder_name(4, 2, 3, p, 2, 3, p, 1.0)
+            path = os.path.join(tmp_path, "CLIP", tree,
+                                "TF_L5H4D128_L5H4D128", "ts", "checkpoint.pth")
+            Trainer(task, total_iters=2, lr_max=1e-3, lr_min=1e-6,
+                    log_interval=1, eval_interval=0, seed=224,
+                    checkpoint_path=path, bayes=task.bayes).fit()
+
+        cfg = tiny_single_cfg(job_name="CDM")
+        spec = sdns_sweep_spec(cfg, [0.1, 0.3], "StT_L2H4D64",
+                               clip_feature="TF", n_bayes=64,
+                               logs_root=str(tmp_path))
+        params, results = run_sweep(spec, total_iters=4, lr_max=1e-3,
+                                    lr_min=1e-6, log_interval=2, seed=224,
+                                    save=False)
+        assert len(results) == 2
+        for payload in results:
+            assert np.isfinite(payload["loss_history"]).all()
