@@ -24,7 +24,7 @@ depth-``d`` parent to its depth-``d+1`` children.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

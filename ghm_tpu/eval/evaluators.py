@@ -20,8 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from functools import partial
-
 from ghm_tpu.core import bp_cls, bp_dns, bp_nwp_autoregressive
 
 # Jitted BP entry points: transitions are traced arguments, so the compiled

@@ -32,7 +32,6 @@ Reference quirks reproduced deliberately (SURVEY.md Appendix A):
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

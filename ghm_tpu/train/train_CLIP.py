@@ -13,7 +13,7 @@ Note the reference trains ``total_iters + 1`` steps for CLIP
 (``train_CLIP.py:139``) — preserved here.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from ghm_tpu.train._runner import double_tree_folder, run_training

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import logging
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import jax
@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ghm_tpu.optim import (
-    AdamWState,
     adamw_init,
     adamw_update,
     clip_by_global_norm,
