@@ -11,3 +11,19 @@ run in a single compiled step on TPU, sharded over a device mesh.
 """
 
 __version__ = "0.1.0"
+
+# Some environments pre-import jax at interpreter startup (sitecustomize
+# registering a remote-TPU platform) and force the platform via jax.config,
+# which silently overrides the user's JAX_PLATFORMS env var.  Re-assert the
+# env var here so `JAX_PLATFORMS=cpu python -m ghm_tpu...` behaves as
+# documented.  Safe as long as no backend has been initialized yet.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - defensive; jax may be absent
+        pass

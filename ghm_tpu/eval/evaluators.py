@@ -140,14 +140,20 @@ def zsc_eval(sampler: DoubleTreeSampler, model_pairs, num_samples_list, key,
             f"Class {c} only has {idx.size} text samples")
         class_indices[c] = idx
 
+    max_m = int(num_samples_list.max())
     for model_name, ((tmodel, t_params), (imodel, i_params)) in model_pairs.items():
         i_emb = _encode(imodel, i_params, i_leaves)
         t_emb = _encode(tmodel, t_params, t_leaves)
         exp_sim = jnp.exp(i_emb @ t_emb.T)  # [N, N]
+        # Prefix-cumulative prototype means give every support size M at once.
+        class_cums = []
+        for c in range(sampler.variable_type):
+            cols = exp_sim[:, class_indices[c][:max_m]]  # [N, max_m]
+            class_cums.append(jnp.cumsum(cols, axis=1))
+        denom = jnp.arange(1, max_m + 1, dtype=jnp.float32)
+        cums = jnp.stack(class_cums, axis=1) / denom  # [N, V, max_m]
         for m in num_samples_list:
-            logits = jnp.stack(
-                [jnp.log(jnp.mean(exp_sim[:, class_indices[c][:m]], axis=1))
-                 for c in range(sampler.variable_type)], axis=1)
+            logits = jnp.log(cums[:, :, m - 1])
             res[model_name].append(float(jnp.mean(cross_entropy(logits, true_label))))
     return res
 
