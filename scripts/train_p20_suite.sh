@@ -4,6 +4,11 @@
 #
 # Variants and hyperparameters follow the reference experiment scripts
 # (scripts/experiments/exp_{clip,cdm,vlm}_*.sh) at p=0.20 only.
+#
+# NOTE: on hosts where the TPU is reached through a one-claim-per-process
+# relay (see CLAUDE.md), prefer the in-process driver
+#   python scripts/train_suite.py --stage
+# which runs the same eleven tasks under a single device claim.
 set -e
 cd "$(dirname "$0")/.."
 P=${P:-0.2}
