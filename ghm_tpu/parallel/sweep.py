@@ -235,8 +235,29 @@ def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
     loss_hist = np.zeros((N, total))
     compare_hist = np.zeros((N, total))
     has_compare = False
+
+    def save_all(params, upto):
+        results = []
+        for i, run_dir in enumerate(spec.run_dirs):
+            params_i = jax.tree_util.tree_map(lambda x: x[i], params)
+            payload = dict(spec.payload_fn(params_i))
+            payload.update({
+                "iter": upto,
+                "loss_history": loss_hist[i],
+                "ploss_history": ploss_hist[i],
+                "bayes": spec.bayes[i][0],
+            })
+            if has_compare:
+                payload["compare"] = compare_hist[i]
+            if save:
+                ckpt.save_checkpoint(os.path.join(run_dir, "checkpoint.pth"),
+                                     payload)
+            results.append(payload)
+        return results
+
     t0 = time.time()
     it = 0
+    last_ckpt = 0
     while it < total:
         n = min(chunk, total - it)
         if n != chunk:
@@ -258,22 +279,11 @@ def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
                 f"sweep[{spec.name}] iter {it}/{total} "
                 f"mean loss {loss_hist[:, max(0, it - n):it].mean():.4f} "
                 f"({time.time() - t0:.1f}s)")
-    results = []
-    for i, run_dir in enumerate(spec.run_dirs):
-        params_i = jax.tree_util.tree_map(lambda x: x[i], params)
-        payload = dict(spec.payload_fn(params_i))
-        payload.update({
-            "iter": total,
-            "loss_history": loss_hist[i],
-            "ploss_history": ploss_hist[i],
-            "bayes": spec.bayes[i][0],
-        })
-        if has_compare:
-            payload["compare"] = compare_hist[i]
-        if save:
-            path = os.path.join(run_dir, "checkpoint.pth")
-            ckpt.save_checkpoint(path, payload)
-        results.append(payload)
+        if save and eval_interval and it < total and \
+                it // eval_interval > last_ckpt // eval_interval:
+            save_all(params, it)
+            last_ckpt = it
+    results = save_all(params, total)
     return params, results
 
 
