@@ -44,6 +44,7 @@ class SweepConfig(UtilConfig, DoubleTreeConfig, ClipModelConfig, ModelConfig):
     task: Optional[str] = "clip"
     p_list: Optional[str] = "0.02:0.40:0.02"
     clip_feature: Optional[str] = "TF"
+    sweep_shard: Optional[int] = 0  # models per compiled program (0 = all)
     job_name: Optional[str] = "sweep"
 
 
@@ -57,9 +58,19 @@ def parse_p_list(spec: str):
 
 def main(argv=None):
     cfg = parse_config(SweepConfig, argv)
-    p_list = parse_p_list(cfg.p_list)
+    full_p_list = parse_p_list(cfg.p_list)
     logger = gen_logger(".", cfg, raw=True)
-    logger.info(f"sweep task={cfg.task} over {len(p_list)} p values: {p_list}")
+    logger.info(f"sweep task={cfg.task} over {len(full_p_list)} p values: "
+                f"{full_p_list}")
+    shard = cfg.sweep_shard or len(full_p_list)
+    for lo in range(0, len(full_p_list), shard):
+        p_list = full_p_list[lo : lo + shard]
+        if len(full_p_list) > shard:
+            logger.info(f"sweep shard {lo // shard + 1}: {p_list}")
+        _run_one(cfg, p_list, logger)
+
+
+def _run_one(cfg, p_list, logger):
 
     if cfg.task == "clip":
         model_name = (f"L{cfg.clip_tmodel_nlayer}H{cfg.clip_tmodel_nhead}"

@@ -2,7 +2,7 @@
 # Standard-TF CLIP sweep over p_flip=0.02..0.40 — trained as ONE vmapped
 # program on the TPU (replaces the reference's 20 background processes).
 cd "$(dirname "$0")/../.."
-python -m ghm_tpu.train.sweep --task=clip --job_name=CLIP \
+python -m ghm_tpu.train.sweep --task=clip --job_name=CLIP --sweep_shard=5 \
     --p_list=0.02:0.40:0.02 \
     --n_ttree_layer=4 --n_itree_layer=4 --n_ttree_child=3 --n_itree_child=3 \
     --flip_scale=1 --K=4 --batch_size=128 --variable_type=10 \

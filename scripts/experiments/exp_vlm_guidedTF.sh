@@ -1,7 +1,7 @@
 #!/bin/bash
 # Guided (GT) joint VLM sweep over p_flip=0.02..0.40 (one vmapped program).
 cd "$(dirname "$0")/../.."
-python -m ghm_tpu.train.sweep --task=nwp --job_name=VLM \
+python -m ghm_tpu.train.sweep --task=nwp --job_name=VLM --sweep_shard=5 \
     --p_list=0.02:0.40:0.02 \
     --n_ttree_layer=4 --n_itree_layer=4 --n_ttree_child=3 --n_itree_child=3 \
     --flip_scale=1 --batch_size=128 --variable_type=10 \

@@ -3,7 +3,7 @@
 # vmapped program with the per-p frozen CLIP encoders stacked on the sweep
 # axis (train the CLIP sweeps first).
 cd "$(dirname "$0")/../.."
-python -m ghm_tpu.train.sweep --task=snwp --job_name=VLM \
+python -m ghm_tpu.train.sweep --task=snwp --job_name=VLM --sweep_shard=5 \
     --p_list=0.02:0.40:0.02 --clip_feature=TF \
     --n_ttree_layer=4 --n_itree_layer=4 --n_ttree_child=3 --n_itree_child=3 \
     --flip_scale=1  --batch_size=128 --variable_type=10 \
