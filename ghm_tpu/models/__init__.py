@@ -9,8 +9,10 @@ from ghm_tpu.models.transformer import (
 from ghm_tpu.models.resnet import ResNet
 from ghm_tpu.models import losses
 from ghm_tpu.models.layers import (
+    generate_mask,
     get_activation,
     prefix_lm_mask,
+    seed_everything,
 )
 
 __all__ = [
@@ -20,6 +22,8 @@ __all__ = [
     "DenoiseEncoderTransformer",
     "ResNet",
     "losses",
+    "generate_mask",
     "get_activation",
     "prefix_lm_mask",
+    "seed_everything",
 ]

@@ -27,6 +27,8 @@ __all__ = [
     "rms_norm",
     "get_activation",
     "prefix_lm_mask",
+    "generate_mask",
+    "seed_everything",
 ]
 
 
@@ -102,3 +104,27 @@ def prefix_lm_mask(n_token: int, n_i_token: int, dtype=jnp.float32):
     n_t = n_token - n_i_token
     tri = jnp.triu(jnp.full((n_t, n_t), neg, dtype), k=1)
     return mask.at[n_i_token:, n_i_token:].set(tri)
+
+
+def seed_everything(seed: int):
+    """Seed host-side RNGs and return a JAX PRNG key.
+
+    API counterpart of the reference ``seed_everything`` (``model.py:12-22``),
+    which aligns python/numpy/torch global state.  JAX threading is explicit:
+    device-side randomness flows through the returned key; the host-side
+    python/numpy seeds cover any library code with global-RNG dependencies.
+    """
+    import os
+    import random
+
+    import numpy as _np
+
+    random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    _np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+# Reference-name alias for the prefix-LM mask builder (``generate_mask``,
+# model.py:24-33).
+generate_mask = prefix_lm_mask
