@@ -276,9 +276,25 @@ def bp_nwp_autoregressive(
     L+1..2L: upward bu [B,T-1,V]) or ``None`` when ``guide`` is False.
     """
     L = len(transitions)
-    C = transitions[0].shape[0]
     B, T = leaf_values.shape
     V = transitions[0].shape[-1]
+    one_position = _nwp_position_fn(leaf_values, transitions, external)
+    ts = jnp.arange(T - 1)
+    pp, q_leaf_g, down_g, root_g, up_g = jax.vmap(one_position, out_axes=(1, 1, 1, 1, 1))(ts)
+    if not guide:
+        return pp, None
+    guided = [q_leaf_g]
+    guided.extend(down_g)  # depths L-1 .. 1 -> guided indices 1 .. L-1
+    guided.append(root_g)  # index L
+    guided.extend(up_g)  # indices L+1 .. 2L
+    return pp, tuple(guided)
+
+
+def _nwp_position_fn(leaf_values, transitions, external=None):
+    """Build the per-position BP closure shared by the autoregressive sweep
+    (vmapped over all positions) and the O(L) single-position API."""
+    L = len(transitions)
+    C = transitions[0].shape[0]
     q_full = _full_subtree_q(leaf_values, transitions)
 
     def one_position(t):
@@ -338,15 +354,7 @@ def bp_nwp_autoregressive(
         q_leaf_guide = q_chain[L]
         return pp, q_leaf_guide, tuple(down_guides), root_guide, tuple(up_guides)
 
-    ts = jnp.arange(T - 1)
-    pp, q_leaf_g, down_g, root_g, up_g = jax.vmap(one_position, out_axes=(1, 1, 1, 1, 1))(ts)
-    if not guide:
-        return pp, None
-    guided = [q_leaf_g]
-    guided.extend(down_g)  # depths L-1 .. 1 -> guided indices 1 .. L-1
-    guided.append(root_g)  # index L
-    guided.extend(up_g)  # indices L+1 .. 2L
-    return pp, tuple(guided)
+    return one_position
 
 
 def bp_nwp_single_position(leaf_values, transitions, position: int,
@@ -354,9 +362,11 @@ def bp_nwp_single_position(leaf_values, transitions, position: int,
     """Posterior of one next-token position: ``p(x_{pos+1} | x_{<=pos}, ext)``.
 
     API counterpart of the reference's single-position debug routines
-    ``BP_dummy_NWP``/``BP_NWP`` (``data_random_GHM.py:223-334``), which the
-    autoregressive pass subsumes; this simply slices the vectorized result.
+    ``BP_dummy_NWP``/``BP_NWP`` (``data_random_GHM.py:223-334``).  Runs the
+    one-position chain directly (O(L) matmuls after the shared O(T) leaf
+    preparation) rather than computing all T-1 positions and slicing.
     Returns ``[B, V]``.
     """
-    pp, _ = bp_nwp_autoregressive(leaf_values, transitions, external=external)
-    return pp[:, position, :]
+    one_position = _nwp_position_fn(leaf_values, transitions, external)
+    pp, *_ = one_position(jnp.asarray(position))
+    return pp

@@ -71,12 +71,20 @@ def _init_block_stack(key, n_layer, n_embd, n_mlp_hidden):
     return params, key
 
 
-def _attention(p, i, H, act, scale=None, mask=None, mask_after_norm=False):
-    """Single-head full-width attention producing (weights, values)."""
+def _layer_params(params, i):
+    """Per-layer parameter subtree (a proper pytree, so block functions can
+    be wrapped in ``jax.checkpoint`` for rematerialization)."""
     si = str(i)
-    q = linear(p["_queries"][si], H)
-    k = linear(p["_keys"][si], H)
-    v = linear(p["_values"][si], H)
+    return {"q": params["_queries"][si], "k": params["_keys"][si],
+            "v": params["_values"][si], "mlp": params["_mlps"][si],
+            "ln1": params["_lns_1"][si], "ln2": params["_lns_2"][si]}
+
+
+def _attention(lp, H, act, scale=None, mask=None, mask_after_norm=False):
+    """Single-head full-width attention producing (weights, values)."""
+    q = linear(lp["q"], H)
+    k = linear(lp["k"], H)
+    v = linear(lp["v"], H)
     A = jnp.einsum("bid,bjd->bij", q, k)
     if mask is not None and not mask_after_norm:
         A = A + mask
@@ -97,7 +105,7 @@ class EncoderTransformer:
     def __init__(self, n_token, num_class, n_embd=128, n_layer=12,
                  n_guided_layer=3, n_head=4, n_mlp_multiplier=4,
                  activation="softmax", mlp=True, normalize_attn=True,
-                 layernorm=True, maxnorm=False, guide=False):
+                 layernorm=True, maxnorm=False, guide=False, remat=False):
         self.n_token = n_token
         self.vocab_size = num_class
         self.n_embd = n_embd
@@ -110,6 +118,7 @@ class EncoderTransformer:
         self.layernorm = layernorm
         self.maxnorm = maxnorm
         self.guide = guide
+        self.remat = remat
         self.n_guided_layer = n_guided_layer
         self.guided_layer_flag = [False] * n_layer
         if guide:
@@ -144,16 +153,27 @@ class EncoderTransformer:
             + params["position_embeddings"]["weight"][jnp.arange(T)][None]
         scale = math.sqrt(self.n_embd) if self.normalize_attn else None
         guided = []
-        for i in range(self.n_layer):
+
+        def block(H, lp):
             # Pre-LN is unconditional in the reference encoder (model.py:772).
-            H1 = layer_norm(params["_lns_1"][str(i)], H)
-            A, v = _attention(params, i, H1, self.activation, scale=scale)
+            H1 = layer_norm(lp["ln1"], H)
+            A, v = _attention(lp, H1, self.activation, scale=scale)
             H = H + jnp.einsum("bij,bjd->bid", A, v)
-            H2 = layer_norm(params["_lns_2"][str(i)], H)
+            H2 = layer_norm(lp["ln2"], H)
             if self.maxnorm:
                 H2 = H2 - jnp.max(H2, axis=2, keepdims=True)
             if self.use_mlp:
-                H = H + mlp(params["_mlps"][str(i)], H2)
+                H = H + mlp(lp["mlp"], H2)
+            return H
+
+        # Rematerialize per layer: backward recomputes block activations, so
+        # peak memory scales with one layer, not n_layer (big multi-model
+        # sweep programs fit HBM unsharded).  Guided slices read the block
+        # *output*, which remat keeps, so guided training is unaffected.
+        if self.remat:
+            block = jax.checkpoint(block)
+        for i in range(self.n_layer):
+            H = block(H, _layer_params(params, i))
             if self.guide and self.guided_layer_flag[i]:
                 # The reference never advances its slice counter (:800), so
                 # every guided layer reads the first vocab-sized block.
@@ -200,7 +220,7 @@ class AutoRegressiveTransformer:
                  n_layer=12, n_guided_layers=(3, 3), n_head=4, n_mlp_hidden=512,
                  activation="softmax", mlp=True, normalize_attn=True,
                  auto_regressive=False, sequential=False, layernorm=True,
-                 guide=False):
+                 guide=False, remat=False):
         self.n_token = n_token
         self.n_i_token = n_i_token
         self.vocab_size = num_class
@@ -215,6 +235,7 @@ class AutoRegressiveTransformer:
         self.sequential = sequential
         self.layernorm = layernorm
         self.guide = guide
+        self.remat = remat
         self.n_t_guided_layer = n_guided_layers[0]
         self.n_i_guided_layer = n_guided_layers[1]
         self.t_guided_layer_flag, self.i_guided_layer_flag = _ar_guided_flags(
@@ -267,9 +288,10 @@ class AutoRegressiveTransformer:
         index_i = 0
         counter = 0
         t_guided, i_guided = [], []
-        for i in range(self.n_layer):
-            src = layer_norm(params["_lns_1"][str(i)], H) if self.layernorm else H
-            A, v = _attention(params, i, src, self.activation, scale=scale,
+
+        def block(H, lp):
+            src = layer_norm(lp["ln1"], H) if self.layernorm else H
+            A, v = _attention(lp, src, self.activation, scale=scale,
                               mask=self._mask, mask_after_norm=False)
             H = H + jnp.einsum("bij,bjd->bid", A, v)
             if self.normalize_attn:
@@ -279,11 +301,15 @@ class AutoRegressiveTransformer:
             H = H + jnp.einsum("bij,bjd->bid", A, v)
             if self.layernorm:
                 if self.use_mlp:
-                    H = H + mlp(params["_mlps"][str(i)],
-                                layer_norm(params["_lns_2"][str(i)], H))
+                    H = H + mlp(lp["mlp"], layer_norm(lp["ln2"], H))
             elif self.use_mlp:
-                H = H + mlp(params["_mlps"][str(i)], H)
+                H = H + mlp(lp["mlp"], H)
+            return H
 
+        if self.remat:
+            block = jax.checkpoint(block)
+        for i in range(self.n_layer):
+            H = block(H, _layer_params(params, i))
             if self.guide and self.t_guided_layer_flag[i]:
                 nI = self.n_i_token
                 if counter == 0:
@@ -322,7 +348,7 @@ class ConditionalDenoiseEncoderTransformer:
                  n_guided_layers=(3, 3), n_head=4, n_mlp_hidden=512,
                  activation="softmax", mlp=True, normalize_attn=True,
                  auto_regressive=False, sequential=False, layernorm=True,
-                 maxnorm=False, guide=False, sigma=1.0):
+                 maxnorm=False, guide=False, sigma=1.0, remat=False):
         self.n_token = n_token
         self.n_i_token = n_i_token
         self.vocab_size = num_class
@@ -339,6 +365,7 @@ class ConditionalDenoiseEncoderTransformer:
         self.maxnorm = maxnorm
         self.guide = guide
         self.sigma = sigma
+        self.remat = remat
         self.n_t_guided_layer = n_guided_layers[0]
         self.n_i_guided_layer = n_guided_layers[1]
         # Image depth drives the spacing here (model.py:372, 407-416).
@@ -388,24 +415,30 @@ class ConditionalDenoiseEncoderTransformer:
         index_i = 0
         counter = 0
         t_guided, i_guided = [], []
-        for i in range(self.n_layer):
-            src = layer_norm(params["_lns_1"][str(i)], H) if self.layernorm else H
+
+        def block(H, lp):
+            src = layer_norm(lp["ln1"], H) if self.layernorm else H
             # Mask (if any) is added after normalization here (model.py:481-484).
-            A, v = _attention(params, i, src, self.activation, scale=scale,
+            A, v = _attention(lp, src, self.activation, scale=scale,
                               mask=self._mask, mask_after_norm=True)
             H = H + jnp.einsum("bij,bjd->bid", A, v)
             if self.layernorm:
-                H2 = layer_norm(params["_lns_2"][str(i)], H)
+                H2 = layer_norm(lp["ln2"], H)
                 if self.maxnorm:
                     H2 = H2 - jnp.max(H2, axis=2, keepdims=True)
                 if self.use_mlp:
-                    H = H + mlp(params["_mlps"][str(i)], H2)
+                    H = H + mlp(lp["mlp"], H2)
             else:
                 if self.maxnorm:
                     H = H - jnp.max(H, axis=2, keepdims=True)
                 if self.use_mlp:
-                    H = H + mlp(params["_mlps"][str(i)], H)
+                    H = H + mlp(lp["mlp"], H)
+            return H
 
+        if self.remat:
+            block = jax.checkpoint(block)
+        for i in range(self.n_layer):
+            H = block(H, _layer_params(params, i))
             if self.guide and self.i_guided_layer_flag[i]:
                 nI = self.n_i_token
                 if counter < self.n_i_guided_layer + 1:  # downward h‖q stages
@@ -497,7 +530,8 @@ class DenoiseEncoderTransformer:
         guided = []
         for i in range(self.n_layer):
             src = layer_norm(params["_lns_1"][str(i)], H) if self.layernorm else H
-            A, v = _attention(params, i, src, self.activation, scale=scale)
+            A, v = _attention(_layer_params(params, i), src, self.activation,
+                              scale=scale)
             H = H + jnp.einsum("bij,bjd->bid", A, v)
             if self.layernorm:
                 H2 = layer_norm(params["_lns_2"][str(i)], H)

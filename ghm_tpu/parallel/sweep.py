@@ -187,17 +187,71 @@ def nwp_sweep_spec(cfg, p_list, model_name, n_bayes=10000, logs_root="./logs"):
     return spec
 
 
+def _write_resume_blob(path, blob):
+    """Atomic pickle write (tmp + rename) so a kill never corrupts it."""
+    import pickle
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(blob, f, protocol=4)
+    os.replace(tmp, path)
+
+
+def load_resume_blob(path):
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
               max_norm=1.0, weight_decay=0.001, log_interval=20,
-              eval_interval=200, seed=224, logger=None, save=True):
-    """Train all sweep models simultaneously; write per-model checkpoints."""
+              eval_interval=200, seed=224, logger=None, save=True,
+              resume_path=None, stop_after=None):
+    """Train all sweep models simultaneously; write per-model checkpoints.
+
+    ``resume_path`` names a sweep-level state blob (stacked params + AdamW
+    state + histories + original run dirs).  It is written at every
+    eval-interval checkpoint and on a ``stop_after`` pause, so an interrupted
+    grid relaunches from its last checkpoint instead of iteration zero — the
+    per-model ``checkpoint.pth`` files keep the reference schema untouched.
+    ``stop_after`` pauses the sweep after ~that many iterations this
+    invocation (rounded up to a chunk), leaving a resumable blob.
+    """
     import logging
 
     logger = logger or logging.getLogger("ghm_tpu")
     N = spec.n_models
-    init_keys = jax.random.split(jax.random.PRNGKey(seed), N)
-    params = jax.vmap(spec.init_fn)(init_keys)
-    opt_state = adamw_init(params)
+    total = int(total_iters)
+    start_it = 0
+    resume_blob = None
+    if resume_path and os.path.exists(resume_path):
+        resume_blob = load_resume_blob(resume_path)
+        if resume_blob.get("done"):
+            logger.info(f"sweep[{spec.name}] already complete per "
+                        f"{resume_path}; skipping (delete the blob to "
+                        f"retrain)")
+            spec.run_dirs = list(resume_blob["run_dirs"])
+            return None, None
+        if resume_blob.get("n_models") != N or resume_blob.get("total") != total:
+            raise ValueError(
+                f"resume blob {resume_path} was written for "
+                f"n_models={resume_blob.get('n_models')}, "
+                f"total={resume_blob.get('total')}; current sweep has "
+                f"n_models={N}, total={total}")
+    if resume_blob is not None and "params" in resume_blob:
+        params = jax.tree_util.tree_map(jnp.asarray, resume_blob["params"])
+        opt_state = jax.tree_util.tree_map(jnp.asarray,
+                                           resume_blob["opt_state"])
+        start_it = int(resume_blob["iter"])
+        spec.run_dirs = list(resume_blob["run_dirs"])
+        logger.info(f"sweep[{spec.name}] resuming at iter {start_it}/{total} "
+                    f"from {resume_path}")
+    else:
+        init_keys = jax.random.split(jax.random.PRNGKey(seed), N)
+        params = jax.vmap(spec.init_fn)(init_keys)
+        opt_state = adamw_init(params)
     base_key = jax.random.PRNGKey(0xA11CE)
 
     def one_step(params, opt_state, it):
@@ -230,11 +284,16 @@ def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
                                                  jnp.arange(chunk))
         return params, opt_state, auxs
 
-    total = int(total_iters)
     ploss_hist = np.zeros((N, total))
     loss_hist = np.zeros((N, total))
     compare_hist = np.zeros((N, total))
     has_compare = False
+    if resume_blob is not None and "params" in resume_blob:
+        loss_hist[:, :start_it] = resume_blob["loss_hist"][:, :start_it]
+        ploss_hist[:, :start_it] = resume_blob["ploss_hist"][:, :start_it]
+        if resume_blob.get("has_compare"):
+            compare_hist[:, :start_it] = resume_blob["compare_hist"][:, :start_it]
+            has_compare = True
 
     def save_all(params, upto):
         results = []
@@ -255,9 +314,24 @@ def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
             results.append(payload)
         return results
 
+    def save_resume(params, opt_state, upto):
+        if not resume_path:
+            return
+        blob = {
+            "n_models": N, "total": total, "iter": upto,
+            "run_dirs": list(spec.run_dirs),
+            "params": jax.tree_util.tree_map(np.asarray, params),
+            "opt_state": jax.tree_util.tree_map(np.asarray, opt_state),
+            "loss_hist": loss_hist, "ploss_hist": ploss_hist,
+            "has_compare": has_compare,
+        }
+        if has_compare:
+            blob["compare_hist"] = compare_hist
+        _write_resume_blob(resume_path, blob)
+
     t0 = time.time()
-    it = 0
-    last_ckpt = 0
+    it = start_it
+    last_ckpt = start_it
     while it < total:
         n = min(chunk, total - it)
         if n != chunk:
@@ -282,8 +356,22 @@ def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
         if save and eval_interval and it < total and \
                 it // eval_interval > last_ckpt // eval_interval:
             save_all(params, it)
+            save_resume(params, opt_state, it)
             last_ckpt = it
+        if stop_after is not None and it - start_it >= stop_after and it < total:
+            if save:
+                save_all(params, it)
+            save_resume(params, opt_state, it)
+            logger.info(f"sweep[{spec.name}] paused at iter {it}/{total} "
+                        f"(stop_after={stop_after}); resumable via "
+                        f"{resume_path}")
+            return params, None
     results = save_all(params, total)
+    if resume_path:
+        # Completion marker: tiny blob (no params) so relaunches skip.
+        _write_resume_blob(resume_path, {
+            "n_models": N, "total": total, "iter": total, "done": True,
+            "run_dirs": list(spec.run_dirs)})
     return params, results
 
 
@@ -346,7 +434,8 @@ def sdns_sweep_spec(cfg, p_list, model_name, clip_feature="TF",
         n_guided_layers=[1, cfg.n_itree_layer], n_head=cfg.n_head,
         n_mlp_hidden=4 * cfg.d_eb, activation="softmax",
         normalize_attn=cfg.normalize_attn, layernorm=cfg.layernorm,
-        maxnorm=False, sequential=True, guide=guide)
+        maxnorm=False, sequential=True, guide=guide,
+        remat=bool(getattr(cfg, 'remat', False)))
     t_stack = _stack_transitions(samplers, "t_transition")
     i_stack = _stack_transitions(samplers, "i_transition")
     N = len(p_list)
@@ -413,7 +502,8 @@ def snwp_sweep_spec(cfg, p_list, model_name, clip_feature="TF",
         n_layer=cfg.n_model_layer, n_guided_layers=[cfg.n_ttree_layer, 1],
         n_head=cfg.n_head, n_mlp_hidden=4 * cfg.d_eb, auto_regressive=True,
         activation="softmax", normalize_attn=cfg.normalize_attn,
-        layernorm=cfg.layernorm, sequential=True, guide=guide)
+        layernorm=cfg.layernorm, sequential=True, guide=guide,
+        remat=bool(getattr(cfg, 'remat', False)))
     t_stack = _stack_transitions(samplers, "t_transition")
     i_stack = _stack_transitions(samplers, "i_transition")
     N = len(p_list)

@@ -71,7 +71,7 @@ def run_training(cfg, task, model_name, tree_folder, *, total_iters,
         warmup_iters=cfg.warmup_iters, max_norm=cfg.max_norm,
         log_interval=cfg.log_interval, eval_interval=cfg.eval_interval,
         seed=cfg.seed, logger=logger, checkpoint_path=checkpoint_path,
-        track_compare=track_compare, bayes=task.bayes)
+        track_compare=track_compare, bayes=task.bayes, wandb_run=wandb_run)
     result = trainer.fit(init_from=cfg.init_from)
 
     if wandb_run is not None:

@@ -16,6 +16,7 @@ Example (standard-TF CLIP sweep, equivalent to exp_clip_standardTF.sh)::
         --clip_guide=False --lr_max=3e-4 --lr_min=3e-7 --total_iters=3000
 """
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -46,6 +47,8 @@ class SweepConfig(UtilConfig, DoubleTreeConfig, ClipModelConfig, ModelConfig):
     clip_feature: Optional[str] = "TF"
     sweep_shard: Optional[int] = 0  # models per compiled program (0 = all)
     job_name: Optional[str] = "sweep"
+    resume: Optional[bool] = True   # continue from the sweep resume blob
+    stop_after: Optional[int] = 0   # pause (resumable) after N iters; 0 = off
 
 
 def parse_p_list(spec: str):
@@ -67,7 +70,10 @@ def main(argv=None):
         p_list = full_p_list[lo : lo + shard]
         if len(full_p_list) > shard:
             logger.info(f"sweep shard {lo // shard + 1}: {p_list}")
-        _run_one(cfg, p_list, logger)
+        paused = _run_one(cfg, p_list, logger)
+        if paused:
+            logger.info("sweep paused (stop_after); relaunch to continue")
+            break
 
 
 def _run_one(cfg, p_list, logger):
@@ -102,11 +108,23 @@ def _run_one(cfg, p_list, logger):
     for p, (b, s) in zip(p_list, spec.bayes):
         logger.info(f"p={p}: Bayes {b:.4f} (±{s:.4f})")
 
-    run_sweep(spec, total_iters=total, lr_max=cfg.lr_max, lr_min=cfg.lr_min,
-              warmup_iters=cfg.warmup_iters, max_norm=cfg.max_norm,
-              log_interval=cfg.log_interval, eval_interval=cfg.eval_interval,
-              seed=cfg.seed, logger=logger, save=not cfg.raw)
-    logger.info("sweep complete")
+    resume_path = None
+    if cfg.resume and not cfg.raw:
+        tag = (f"{cfg.task}_{model_name}_p{int(round(p_list[0] * 100))}"
+               f"-{int(round(p_list[-1] * 100))}_T{total}")
+        resume_path = os.path.join("logs", cfg.job_name, ".sweep_resume",
+                                   tag + ".pkl")
+    params, results = run_sweep(
+        spec, total_iters=total, lr_max=cfg.lr_max, lr_min=cfg.lr_min,
+        warmup_iters=cfg.warmup_iters, max_norm=cfg.max_norm,
+        log_interval=cfg.log_interval, eval_interval=cfg.eval_interval,
+        seed=cfg.seed, logger=logger, save=not cfg.raw,
+        resume_path=resume_path,
+        stop_after=cfg.stop_after or None)
+    paused = params is not None and results is None
+    if not paused:
+        logger.info("sweep complete")
+    return paused
 
 
 if __name__ == "__main__":

@@ -74,14 +74,14 @@ def build_clip_task(cfg, bayes_key=None, n_bayes=10000):
         n_guided_layer=cfg.n_ttree_layer, n_head=cfg.clip_tmodel_nhead,
         n_mlp_multiplier=4, activation=cfg.clip_activation, mlp=True,
         normalize_attn=cfg.clip_attennorm, layernorm=cfg.clip_layernorm,
-        guide=guide)
+        guide=guide, remat=bool(getattr(cfg, 'remat', False)))
     imodel = EncoderTransformer(
         n_token=sampler.n_i_leaves, num_class=cfg.variable_type,
         n_embd=cfg.clip_imodel_deb, n_layer=cfg.clip_imodel_nlayer,
         n_guided_layer=cfg.n_itree_layer, n_head=cfg.clip_imodel_nhead,
         n_mlp_multiplier=4, activation=cfg.clip_activation, mlp=True,
         normalize_attn=cfg.clip_attennorm, layernorm=cfg.clip_layernorm,
-        guide=guide)
+        guide=guide, remat=bool(getattr(cfg, 'remat', False)))
 
     def sample_fn(key):
         res_t, res_i = sampler.get_batch(key, batch_size=B, guide=guide)
@@ -136,7 +136,8 @@ def build_cdns_task(cfg, bayes_key=None, n_bayes=10000):
         n_head=cfg.n_head, n_mlp_hidden=4 * cfg.d_eb,
         activation=cfg.activation, mlp=True,
         normalize_attn=cfg.normalize_attn, layernorm=cfg.layernorm,
-        maxnorm=False, sequential=False, guide=guide)
+        maxnorm=False, sequential=False, guide=guide,
+        remat=bool(getattr(cfg, 'remat', False)))
 
     def sample_fn(key):
         res_t, res_i = sampler.get_batch(key, batch_size=B, guide=guide)
@@ -184,7 +185,8 @@ def build_nwp_task(cfg, bayes_key=None, n_bayes=10000):
         n_guided_layers=[cfg.n_ttree_layer, cfg.n_itree_layer],
         n_head=cfg.n_head, n_mlp_hidden=4 * cfg.d_eb, auto_regressive=True,
         activation="softmax", mlp=True, normalize_attn=cfg.normalize_attn,
-        layernorm=cfg.layernorm, sequential=False, guide=guide)
+        layernorm=cfg.layernorm, sequential=False, guide=guide,
+        remat=bool(getattr(cfg, 'remat', False)))
 
     def sample_fn(key):
         res_t, res_i = sampler.get_batch(key, batch_size=B, guide=guide)
@@ -317,7 +319,8 @@ def build_sequential_dns_task(cfg, clip_feature="GT", logs_root="logs",
         n_guided_layers=[1, cfg.n_itree_layer], n_head=cfg.n_head,
         n_mlp_hidden=4 * cfg.d_eb, activation="softmax", mlp=True,
         normalize_attn=cfg.normalize_attn, layernorm=cfg.layernorm,
-        maxnorm=False, sequential=True, guide=guide)
+        maxnorm=False, sequential=True, guide=guide,
+        remat=bool(getattr(cfg, 'remat', False)))
 
     def sample_fn(key):
         res_t, res_i = sampler.get_batch(key, batch_size=B, guide=guide)
@@ -377,7 +380,8 @@ def build_sequential_nwp_task(cfg, clip_feature="GT", logs_root="logs",
         n_guided_layers=[cfg.n_ttree_layer, 1], n_head=cfg.n_head,
         n_mlp_hidden=4 * cfg.d_eb, auto_regressive=True,
         activation="softmax", mlp=True, normalize_attn=cfg.normalize_attn,
-        layernorm=cfg.layernorm, sequential=True, guide=guide)
+        layernorm=cfg.layernorm, sequential=True, guide=guide,
+        remat=bool(getattr(cfg, 'remat', False)))
 
     def sample_fn(key):
         res_t, res_i = sampler.get_batch(key, batch_size=B, guide=guide)

@@ -79,7 +79,7 @@ class Trainer:
                  warmup_iters=0, max_norm=1.0, weight_decay=0.001,
                  log_interval=20, eval_interval=200, seed=224,
                  mesh=None, logger=None, checkpoint_path=None,
-                 track_compare=False, bayes=(0.0, 0.0)):
+                 track_compare=False, bayes=(0.0, 0.0), wandb_run=None):
         self.task = task
         self.total_iters = int(total_iters)
         self.lr_max, self.lr_min = float(lr_max), float(lr_min)
@@ -94,6 +94,7 @@ class Trainer:
         self.checkpoint_path = checkpoint_path
         self.track_compare = track_compare
         self.bayes = bayes
+        self.wandb_run = wandb_run
         self._chunk_fn = None
 
     # ------------------------------------------------------------------
@@ -131,21 +132,42 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_state(self, init_from="scratch"):
+        """Returns (params, opt_state, start_iter, prior_payload_or_None).
+
+        On resume the full checkpoint payload is returned so ``fit`` can
+        restore the pre-resume loss histories — the risk evals read
+        ``loss_history[-100:]`` from checkpoints, so a resumed run must carry
+        its whole training curve, not just the post-resume suffix.
+        """
         if init_from != "scratch" and self.checkpoint_path:
             payload = ckpt.load_checkpoint(self.checkpoint_path)
             params = self.task.load_fn(payload)
             opt_state = ckpt.unpack_opt_state(payload["optimizer_state_dict"])
             start = int(payload["iter"])
-            return params, opt_state, start
+            return params, opt_state, start, payload
         params = self.task.init_fn(jax.random.PRNGKey(self.seed))
-        return params, adamw_init(params), 0
+        return params, adamw_init(params), 0, None
 
-    def fit(self, init_from="scratch", data_seed=0):
-        params, opt_state, start = self.init_state(init_from)
+    @staticmethod
+    def _restore_history(dst, payload, key, upto):
+        if payload is None or key not in payload or dst is None:
+            return
+        src = np.asarray(payload[key])
+        n = min(upto, src.size, dst.size)
+        dst[:n] = src[:n]
+
+    def fit(self, init_from="scratch", data_seed=0, stop_after=None):
+        """Train to ``total_iters``; ``stop_after`` pauses (checkpointed,
+        resumable via ``init_from != 'scratch'``) after ~that many iterations
+        this invocation, rounded up to a log chunk."""
+        params, opt_state, start, prior = self.init_state(init_from)
         total = self.total_iters
         ploss_hist = np.zeros(total)
         loss_hist = np.zeros(total)
         compare_hist = np.zeros(total) if self.track_compare else None
+        self._restore_history(loss_hist, prior, "loss_history", start)
+        self._restore_history(ploss_hist, prior, "ploss_history", start)
+        self._restore_history(compare_hist, prior, "compare", start)
         base_key = jax.random.PRNGKey(jnp.uint32(0x5EED0000 + data_seed))
         chunk_size = self.log_interval
         run_chunk = self._build_chunk(chunk_size)
@@ -172,6 +194,14 @@ class Trainer:
             if self.checkpoint_path and crossed_eval:
                 self._save(params, opt_state, it, loss_hist, ploss_hist,
                            compare_hist)
+            if stop_after is not None and it - start >= stop_after \
+                    and it < total:
+                if self.checkpoint_path:
+                    self._save(params, opt_state, it, loss_hist, ploss_hist,
+                               compare_hist)
+                self.logger.info(f"paused at iter {it}/{total} (stop_after)")
+                return TrainResult(params, opt_state, loss_hist, ploss_hist,
+                                   compare_hist)
         if self.checkpoint_path:
             self._save(params, opt_state, it, loss_hist, ploss_hist,
                        compare_hist)
@@ -190,10 +220,26 @@ class Trainer:
         if pens:
             vals = ", ".join(f"{float(np.asarray(auxs[k])[-1]):.4f}" for k in pens)
             msg += f"Penalty: [{vals}], "
+        lr_now = float(np.asarray(auxs["lr"])[-1])
         msg += (f"Bayes: {self.bayes[0]:.4f}, "
-                f"LR: {float(np.asarray(auxs['lr'])[-1]):.6f}, "
+                f"LR: {lr_now:.6f}, "
                 f"Time: {time.time() - t0:.2f}s")
         self.logger.info(msg)
+        if self.wandb_run is not None:
+            # Per-interval metric series, mirroring reference
+            # train_CLIP.py:181-187 (train/penalty losses, lr, Bayes).
+            record = {
+                "iter": it,
+                "train_loss": float(np.mean(loss[window])),
+                "penalty_train_loss": float(np.mean(ploss[window])),
+                "lr": lr_now,
+                "Bayes_loss": self.bayes[0],
+            }
+            if compare is not None:
+                record["compare"] = float(np.mean(compare[window]))
+            for k in pens:
+                record[k] = float(np.asarray(auxs[k])[-1])
+            self.wandb_run.log(record, step=it)
 
     def _save(self, params, opt_state, it, loss_hist, ploss_hist, compare_hist):
         payload = dict(self.task.payload_fn(params))

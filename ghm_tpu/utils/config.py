@@ -80,6 +80,9 @@ class ModelConfig:
     normalize_attn: Optional[bool] = True
     guide: Optional[bool] = False
     activation: Optional[str] = "softmax"
+    # Per-layer rematerialization (jax.checkpoint): trades ~1/3 more compute
+    # for activation memory, letting big vmapped sweeps fit HBM unsharded.
+    remat: Optional[bool] = False
 
 
 @dataclass

@@ -1,0 +1,105 @@
+"""Full-grid sweep driver: train the remaining p=0.02..0.40 experiment grids
+sequentially in ONE process (the TPU relay grants one claim per process, so
+background shells — the reference's pattern, ``scripts/experiments/exp_*.sh``
+— would wedge the claim here; see CLAUDE.md).
+
+Each variant is a vmapped multi-model sweep (``ghm_tpu.train.sweep``) with
+resume enabled: killing this process loses at most one eval interval, and a
+relaunch continues every unfinished shard from its resume blob and skips
+completed ones.
+
+Usage:
+    python scripts/train_grids.py [--only clip_gt,cdm_st,...]
+                                  [--sweep-shard 5] [--precision highest]
+                                  [--stop-after N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+TREE = ["--n_ttree_layer=4", "--n_itree_layer=4", "--n_ttree_child=3",
+        "--n_itree_child=3", "--flip_scale=1", "--batch_size=128",
+        "--variable_type=10", "--p_list=0.02:0.40:0.02", "--raw=False"]
+
+CLIP = TREE + ["--task=clip", "--job_name=CLIP", "--K=4",
+               "--clip_tmodel_nlayer=5", "--clip_imodel_nlayer=5",
+               "--clip_tmodel_nhead=4", "--clip_imodel_nhead=4",
+               "--clip_tmodel_deb=128", "--clip_imodel_deb=128",
+               "--clip_layernorm=True", "--clip_attennorm=True",
+               "--penalty=1e-3", "--total_iters=3000"]
+
+CDM = TREE + ["--job_name=CDM", "--sigma=1", "--d_eb=128", "--n_head=4",
+              "--layernorm=True", "--normalize_attn=True", "--penalty=0.1",
+              "--total_iters=30000"]
+
+VLM = TREE + ["--job_name=VLM", "--d_eb=256", "--n_head=4",
+              "--layernorm=True", "--normalize_attn=True", "--penalty=0.001",
+              "--total_iters=30000"]
+
+# Priority order: the guided-TF CLIP grid unblocks clip-risk.json AND
+# zsc-risk.json; CDM grids unblock cdm-risk.json; VLM grids vlm-risk.json.
+# Variant configs mirror reference scripts/experiments/exp_*.sh exactly.
+GRIDS = [
+    ("clip_gt", CLIP + ["--clip_guide=True", "--lr_max=1e-3",
+                        "--lr_min=1e-6"]),
+    ("cdm_st", CDM + ["--task=sdns", "--clip_feature=TF",
+                      "--n_model_layer=9", "--guide=False",
+                      "--lr_max=1e-3", "--lr_min=1e-6"]),
+    ("cdm_sh", CDM + ["--task=sdns", "--clip_feature=TF",
+                      "--n_model_layer=1", "--guide=False",
+                      "--lr_max=1e-3", "--lr_min=1e-6"]),
+    ("cdm_gt", CDM + ["--task=cdns", "--n_model_layer=9", "--guide=True",
+                      "--lr_max=1e-2", "--lr_min=1e-5"]),
+    ("cdm_jt", CDM + ["--task=cdns", "--n_model_layer=9", "--guide=False",
+                      "--lr_max=1e-3", "--lr_min=1e-6"]),
+    ("vlm_st", VLM + ["--task=snwp", "--clip_feature=TF",
+                      "--n_model_layer=9", "--guide=False",
+                      "--lr_max=1e-3", "--lr_min=1e-6"]),
+    ("vlm_sh", VLM + ["--task=snwp", "--clip_feature=TF",
+                      "--n_model_layer=1", "--guide=False",
+                      "--lr_max=1e-3", "--lr_min=1e-6"]),
+    ("vlm_gt", VLM + ["--task=nwp", "--n_model_layer=9", "--guide=True",
+                      "--lr_max=1e-3", "--lr_min=1e-6"]),
+    ("vlm_jt", VLM + ["--task=nwp", "--n_model_layer=9", "--guide=False",
+                      "--lr_max=3e-4", "--lr_min=3e-7"]),
+]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--only", default=None,
+                        help="comma-separated variant names")
+    parser.add_argument("--sweep-shard", type=int, default=5)
+    parser.add_argument("--precision", default="highest",
+                        choices=["default", "high", "highest"])
+    parser.add_argument("--stop-after", type=int, default=0,
+                        help="pause each shard (resumable) after N iters")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.precision)
+
+    from ghm_tpu.train import sweep as sweep_cli
+
+    wanted = set(args.only.split(",")) if args.only else None
+    for name, argv in GRIDS:
+        if wanted and name not in wanted:
+            continue
+        full = argv + [f"--sweep_shard={args.sweep_shard}"]
+        if args.stop_after:
+            full += [f"--stop_after={args.stop_after}"]
+        t0 = time.time()
+        print(f"===== grid {name} =====", flush=True)
+        sweep_cli.main(full)
+        print(f"===== grid {name} done in {time.time() - t0:.0f}s =====",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

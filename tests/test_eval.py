@@ -49,6 +49,52 @@ class TestHistoryRisk:
         # JSON-serializable (schema contract)
         json.dumps(res)
 
+    def test_sweep_on_non_default_tree_shape(self, tmp_path):
+        """The evaluators must not be pinned to the paper's K4/L4C3 grid."""
+        variants = {"Standard TF": "TF_X"}
+        p_grid = np.array([10])
+        tree = "K2_L2C2p10_L3C2p10sc15"
+        fake_checkpoint(os.path.join(tmp_path, tree, "TF_X", "checkpoint.pth"),
+                        loss_tail=0.7, bayes=0.6)
+        res = history_risk_sweep(tmp_path, variants, p_grid=p_grid, K=2,
+                                 n_layers=(2, 3), n_childs=(2, 2),
+                                 flip_scale=1.5)
+        np.testing.assert_allclose(res["Standard TF"], [0.7], atol=1e-6)
+
+
+class TestOodOnToyTree:
+    def test_clip_ood_misspec_equals_bayes_at_train_p(self):
+        """clip_ood_eval parameterized on a non-default tree: at
+        test p == train p the mis-specified BP row is exact Bayes."""
+        from ghm_tpu.eval.evaluators import clip_ood_eval
+
+        tree_args = dict(n_layers=[2, 2], n_childs=[3, 3], K=4)
+        res = clip_ood_eval({}, jax.random.PRNGKey(0), batch_size=512,
+                            p_grid=np.array([15]), train_p=0.15,
+                            tree_args=tree_args)
+        assert res["p_flip"] == [15]
+        assert abs(res["Mis-spec. BP"][0] - res["Bayes"][0]) < 0.05
+
+
+class TestApplyCache:
+    def test_distinct_models_get_their_own_executables(self):
+        """Two same-class models with different configs must never share a
+        compiled apply (the old id()-keyed cache could hand a stale one to a
+        model reusing a collected address)."""
+        from ghm_tpu.eval.evaluators import _jitted_apply
+
+        x = jnp.zeros((2, 9), jnp.int32)
+        m1 = EncoderTransformer(n_token=9, num_class=10, n_embd=32,
+                                n_layer=1, n_guided_layer=1)
+        p1 = m1.init(jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(_jitted_apply(m1)(p1, x)[0]),
+                                   np.asarray(m1.apply(p1, x)[0]), atol=1e-6)
+        m2 = EncoderTransformer(n_token=9, num_class=10, n_embd=32,
+                                n_layer=2, n_guided_layer=1)
+        p2 = m2.init(jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(_jitted_apply(m2)(p2, x)[0]),
+                                   np.asarray(m2.apply(p2, x)[0]), atol=1e-6)
+
 
 def tiny_pair():
     model = EncoderTransformer(n_token=9, num_class=10, n_embd=32, n_layer=1,

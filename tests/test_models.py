@@ -6,6 +6,7 @@ the ghm_tpu param trees, so any mismatch is a math bug, not an init issue.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -142,3 +143,29 @@ class TestDenoise:
                                           maxnorm=True, guide=False)
         out = model.apply(fixture_params(data), jnp.asarray(data["zi"]))
         np.testing.assert_allclose(np.asarray(out), data["out"], atol=3e-4)
+
+
+class TestRemat:
+    def test_remat_matches_plain_forward_and_grad(self):
+        """remat=True must be numerically identical (forward AND gradients) —
+        it only changes what the backward pass stores vs recomputes."""
+        from ghm_tpu.models import EncoderTransformer
+
+        kw = dict(n_token=9, num_class=V, n_embd=64, n_layer=3,
+                  n_guided_layer=2, n_head=4, activation="softmax",
+                  normalize_attn=True, layernorm=True, guide=True)
+        plain = EncoderTransformer(**kw)
+        remat = EncoderTransformer(**kw, remat=True)
+        params = plain.init(jax.random.PRNGKey(0))
+        x = jax.random.randint(jax.random.PRNGKey(1), (4, 9), 0, V)
+
+        def loss(model, p):
+            out, guided = model.apply(p, x)
+            return jnp.sum(out ** 2) + sum(jnp.sum(g ** 2) for g in guided)
+
+        l1, g1 = jax.value_and_grad(lambda p: loss(plain, p))(params)
+        l2, g2 = jax.value_and_grad(lambda p: loss(remat, p))(params)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -91,9 +91,43 @@ class TestTrainer:
                           log_interval=10, eval_interval=10, seed=224,
                           checkpoint_path=path, bayes=task.bayes)
         trainer.fit()
-        params, opt_state, start = trainer.init_state(init_from="resume")
+        params, opt_state, start, prior = trainer.init_state(init_from="resume")
         assert start == 20
         assert int(np.asarray(opt_state.step)) == 20
+        assert prior is not None and "loss_history" in prior
+
+    def test_resume_matches_straight_run(self, tmp_path):
+        """A 10+10 resumed run must equal a straight 20-iter run — params,
+        loss history, and checkpointed histories (the risk evals read
+        loss_history[-100:] from checkpoints, so resumed curves must be
+        contiguous, not zero-prefixed)."""
+        cfg = tiny_clip_cfg(total_iters=20)
+        task, _, _ = build_clip_task(cfg, n_bayes=128)
+
+        def make(path, total):
+            return Trainer(task, total_iters=total, lr_max=1e-3, lr_min=1e-6,
+                           log_interval=5, eval_interval=10, seed=224,
+                           checkpoint_path=path, bayes=task.bayes)
+
+        straight_path = os.path.join(tmp_path, "straight", "checkpoint.pth")
+        straight = make(straight_path, 20).fit()
+
+        resumed_path = os.path.join(tmp_path, "resumed", "checkpoint.pth")
+        make(resumed_path, 20).fit(stop_after=10)
+        resumed = make(resumed_path, 20).fit(init_from="resume")
+
+        np.testing.assert_array_equal(resumed.loss_history,
+                                      straight.loss_history)
+        np.testing.assert_array_equal(resumed.ploss_history,
+                                      straight.ploss_history)
+        a = jax.tree_util.tree_leaves(resumed.params)
+        b = jax.tree_util.tree_leaves(straight.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        payload = ckpt.load_checkpoint(resumed_path)
+        np.testing.assert_array_equal(np.asarray(payload["loss_history"]),
+                                      straight.loss_history)
+        assert int(payload["iter"]) == 20
 
     def test_guided_clip_trains(self):
         cfg = tiny_clip_cfg(clip_guide=True, total_iters=12, log_interval=6)
@@ -172,6 +206,52 @@ class TestSweep:
         # Different p values must produce different training losses.
         assert not np.allclose(results[0]["loss_history"],
                                results[1]["loss_history"])
+
+    def test_sweep_pause_and_resume_matches_straight(self, tmp_path):
+        """Kill-and-relaunch a sweep mid-run: the resumed sweep must produce
+        the same checkpoints (params + contiguous histories) as an
+        uninterrupted run (VERDICT round-1, Weak #1)."""
+        from ghm_tpu.parallel.sweep import (clip_sweep_spec, load_resume_blob,
+                                            run_sweep)
+
+        cfg = tiny_clip_cfg(job_name="CLIP")
+        common = dict(total_iters=12, lr_max=1e-3, lr_min=1e-6,
+                      log_interval=3, eval_interval=6, seed=224)
+
+        spec_a = clip_sweep_spec(cfg, [0.1, 0.3], "TF_L2H4D64_L2H4D64",
+                                 n_bayes=128,
+                                 logs_root=str(tmp_path / "straight"))
+        _, straight = run_sweep(spec_a, save=True, **common)
+
+        blob_path = str(tmp_path / "resume.pkl")
+        spec_b = clip_sweep_spec(cfg, [0.1, 0.3], "TF_L2H4D64_L2H4D64",
+                                 n_bayes=128,
+                                 logs_root=str(tmp_path / "resumed"))
+        _, paused = run_sweep(spec_b, save=True, resume_path=blob_path,
+                              stop_after=6, **common)
+        assert paused is None
+        assert load_resume_blob(blob_path)["iter"] == 6
+
+        spec_c = clip_sweep_spec(cfg, [0.1, 0.3], "TF_L2H4D64_L2H4D64",
+                                 n_bayes=128,
+                                 logs_root=str(tmp_path / "resumed"))
+        _, resumed = run_sweep(spec_c, save=True, resume_path=blob_path,
+                               **common)
+        # run_dirs restored from the blob: same timestamped dirs as run B.
+        assert list(spec_c.run_dirs) == list(spec_b.run_dirs)
+        assert load_resume_blob(blob_path).get("done") is True
+        for r, s in zip(resumed, straight):
+            np.testing.assert_array_equal(r["loss_history"],
+                                          s["loss_history"])
+            np.testing.assert_array_equal(r["ploss_history"],
+                                          s["ploss_history"])
+            for k in ("tmodel_state_dict", "imodel_state_dict"):
+                for name in r[k]:
+                    np.testing.assert_array_equal(
+                        np.asarray(r[k][name]), np.asarray(s[k][name]))
+        # Relaunching a completed sweep is a no-op (done marker).
+        p, res = run_sweep(spec_c, save=True, resume_path=blob_path, **common)
+        assert p is None and res is None
 
 
 class TestConfigCLI:
