@@ -90,14 +90,26 @@ def clip_batch(key, t_transition, i_transition, variable_type, K,
 
 
 def cdns_batch(key, t_transition, i_transition, variable_type, sigma,
-               batch_size, guide, n_childs):
-    """Conditional-denoising batch from explicit transition tensors."""
+               batch_size, guide, n_childs, diagnostics=True):
+    """Conditional-denoising batch from explicit transition tensors.
+
+    The training gradient only touches ``z``/``clean`` (plus the BP guides
+    when ``guide``); the exact posteriors are a logged diagnostic, which the
+    reference recomputes every iteration (``data_random_GHM.py:869-880``).
+    ``diagnostics=False`` skips the BP passes entirely for unguided training
+    — the sweep runner's hot path, worth ~2x on the 30k-iter grids.
+    """
     kr, kt, ki, kn = jax.random.split(key, 4)
     root = sample_root(kr, batch_size, variable_type)
     t_vals = sample_tree(kt, t_transition, batch_size, root=root)
     i_vals = sample_tree(ki, i_transition, batch_size, root=root)
     x_img = i_vals[-1].astype(jnp.float32)
     z = x_img + sigma * jax.random.normal(kn, x_img.shape)
+    if not guide and not diagnostics:
+        return (
+            (t_vals[-1], root, None, None),
+            (z, i_vals[-1], None, None),
+        )
     t_res = bp_cls(t_vals[-1], t_transition)
     external = t_res.h_msgs[0][:, 0, :]
     i_res = bp_dns(z, i_transition, sigma=sigma, external=external)
@@ -113,13 +125,25 @@ def cdns_batch(key, t_transition, i_transition, variable_type, sigma,
 
 
 def nwp_batch(key, t_transition, i_transition, variable_type,
-              batch_size, guide, n_childs):
-    """Next-word-prediction batch from explicit transition tensors."""
+              batch_size, guide, n_childs, diagnostics=True):
+    """Next-word-prediction batch from explicit transition tensors.
+
+    Unguided NWP training is plain next-token CE on the sampled text; the
+    per-position autoregressive BP posterior (by far the most expensive op
+    in the batch — one full BP pass per prefix) only feeds the KL-to-Bayes
+    diagnostic the reference logs each iteration.  ``diagnostics=False``
+    skips all BP for unguided training (sweep hot path).
+    """
     kr, kt, ki = jax.random.split(key, 3)
     root = sample_root(kr, batch_size, variable_type)
     t_vals = sample_tree(kt, t_transition, batch_size, root=root)
     i_vals = sample_tree(ki, i_transition, batch_size, root=root)
     text = t_vals[-1]
+    if not guide and not diagnostics:
+        return (
+            (text[:, :-1], text[:, 1:], None, None),
+            (i_vals[-1], i_vals[0][:, 0], None, None),
+        )
     i_res = bp_cls(i_vals[-1], i_transition)
     external = i_res.h_msgs[0][:, 0, :]
     pp, t_guides = bp_nwp_autoregressive(text, t_transition,
@@ -165,8 +189,10 @@ def bayes_clip_loss(t_pp, i_pp, n_eval: int, K: int, variable_type: int):
 # ----------------------------------------------------------------------
 
 clip_batch_jit = jax.jit(clip_batch, static_argnums=(3, 4, 5, 6, 7))
-cdns_batch_jit = jax.jit(cdns_batch, static_argnums=(3, 4, 5, 6, 7))
-nwp_batch_jit = jax.jit(nwp_batch, static_argnums=(3, 4, 5, 6))
+cdns_batch_jit = jax.jit(cdns_batch, static_argnums=(3, 4, 5, 6, 7),
+                         static_argnames=("diagnostics",))
+nwp_batch_jit = jax.jit(nwp_batch, static_argnums=(3, 4, 5, 6),
+                        static_argnames=("diagnostics",))
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))

@@ -133,9 +133,12 @@ def clip_sweep_spec(cfg, p_list, model_name, n_bayes=10000, logs_root="./logs"):
 def cdns_sweep_spec(cfg, p_list, model_name, n_bayes=10000, logs_root="./logs"):
     from ghm_tpu.train.tasks import build_cdns_task
 
+    # diagnostics=False: unguided grid training skips the per-iteration BP
+    # that only feeds the compare diagnostic (samplers.cdns_batch docstring).
     kwargs = dict(variable_type=cfg.variable_type, sigma=cfg.sigma,
                   batch_size=cfg.batch_size, guide=bool(cfg.guide),
-                  n_childs=(cfg.n_ttree_child, cfg.n_itree_child))
+                  n_childs=(cfg.n_ttree_child, cfg.n_itree_child),
+                  diagnostics=False)
     ts = time.strftime("%Y%m%d-%H%M%S", time.localtime())
 
     def run_dir(p):
@@ -164,7 +167,8 @@ def nwp_sweep_spec(cfg, p_list, model_name, n_bayes=10000, logs_root="./logs"):
 
     kwargs = dict(variable_type=cfg.variable_type,
                   batch_size=cfg.batch_size, guide=bool(cfg.guide),
-                  n_childs=(cfg.n_ttree_child, cfg.n_itree_child))
+                  n_childs=(cfg.n_ttree_child, cfg.n_itree_child),
+                  diagnostics=False)
     ts = time.strftime("%Y%m%d-%H%M%S", time.localtime())
 
     def run_dir(p):
@@ -216,6 +220,10 @@ def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
     eval-interval checkpoint and on a ``stop_after`` pause, so an interrupted
     grid relaunches from its last checkpoint instead of iteration zero — the
     per-model ``checkpoint.pth`` files keep the reference schema untouched.
+    Intermediate eval-interval points write only the resume blob (one bulk
+    device→host fetch); the per-model reference-schema checkpoints are
+    written on pause and completion — over a remote-device tunnel the
+    per-model slicing otherwise costs dozens of seconds per checkpoint.
     ``stop_after`` pauses the sweep after ~that many iterations this
     invocation (rounded up to a chunk), leaving a resumable blob.
     """
@@ -296,6 +304,9 @@ def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
             has_compare = True
 
     def save_all(params, upto):
+        # One bulk transfer, then slice on host: per-model device slicing
+        # issues hundreds of tiny tunnel fetches.
+        params = jax.device_get(params)
         results = []
         for i, run_dir in enumerate(spec.run_dirs):
             params_i = jax.tree_util.tree_map(lambda x: x[i], params)
@@ -317,6 +328,7 @@ def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
     def save_resume(params, opt_state, upto):
         if not resume_path:
             return
+        params, opt_state = jax.device_get((params, opt_state))
         blob = {
             "n_models": N, "total": total, "iter": upto,
             "run_dirs": list(spec.run_dirs),
@@ -355,7 +367,6 @@ def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
                 f"({time.time() - t0:.1f}s)")
         if save and eval_interval and it < total and \
                 it // eval_interval > last_ckpt // eval_interval:
-            save_all(params, it)
             save_resume(params, opt_state, it)
             last_ckpt = it
         if stop_after is not None and it - start_it >= stop_after and it < total:
@@ -444,7 +455,7 @@ def sdns_sweep_spec(cfg, p_list, model_name, clip_feature="TF",
         keys = jax.random.split(key, N)
         fn = partial(cdns_batch, variable_type=cfg.variable_type,
                      sigma=cfg.sigma, batch_size=B, guide=guide,
-                     n_childs=n_childs)
+                     n_childs=n_childs, diagnostics=False)
         res_t, res_i = jax.vmap(fn)(keys, t_stack, i_stack)
         return {"t_leaves": res_t[0], "z": res_i[0],
                 "clean": res_i[1].astype(jnp.float32),
@@ -458,8 +469,9 @@ def sdns_sweep_spec(cfg, p_list, model_name, clip_feature="TF",
         targets = (batch_i["clean"], ((feat, feat), batch_i["i_guides"]))
         loss, p0, p1, p2, p3 = conditional_guided_ls_loss(
             (pred, guides), targets, penalty=cfg.penalty, guide=guide)
-        aux = {"loss": ls_loss(pred, batch_i["clean"]),
-               "compare": ls_loss(pred, batch_i["posterior"])}
+        aux = {"loss": ls_loss(pred, batch_i["clean"])}
+        if batch_i["posterior"] is not None:
+            aux["compare"] = ls_loss(pred, batch_i["posterior"])
         return loss, aux
 
     ts = time.strftime("%Y%m%d-%H%M%S", time.localtime())
@@ -511,7 +523,8 @@ def snwp_sweep_spec(cfg, p_list, model_name, clip_feature="TF",
     def sample_fn(key):
         keys = jax.random.split(key, N)
         fn = partial(nwp_batch, variable_type=cfg.variable_type,
-                     batch_size=B, guide=guide, n_childs=n_childs)
+                     batch_size=B, guide=guide, n_childs=n_childs,
+                     diagnostics=False)
         res_t, res_i = jax.vmap(fn)(keys, t_stack, i_stack)
         return {"inputs": res_t[0], "targets": res_t[1],
                 "t_guides": res_t[2], "pp": res_t[3],
@@ -528,8 +541,9 @@ def snwp_sweep_spec(cfg, p_list, model_name, clip_feature="TF",
                            batch_i["targets"].reshape(-1))
         plain = jnp.mean(jnp.mean(
             ce.reshape(-1, batch_i["targets"].shape[1]), axis=1))
-        aux = {"loss": plain,
-               "compare": kl_divergence(logits, batch_i["pp"])}
+        aux = {"loss": plain}
+        if batch_i["pp"] is not None:
+            aux["compare"] = kl_divergence(logits, batch_i["pp"])
         return loss, aux
 
     ts = time.strftime("%Y%m%d-%H%M%S", time.localtime())

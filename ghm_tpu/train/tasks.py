@@ -151,8 +151,9 @@ def build_cdns_task(cfg, bayes_key=None, n_bayes=10000):
         loss, p0, p1, p2, p3 = conditional_guided_ls_loss(
             (pred, guides), targets, penalty=cfg.penalty, guide=guide)
         aux = {"loss": ls_loss(pred, batch["clean"]),
-               "compare": ls_loss(pred, batch["posterior"]),
                "pen0": p0, "pen1": p1, "pen2": p2, "pen3": p3}
+        if batch["posterior"] is not None:
+            aux["compare"] = ls_loss(pred, batch["posterior"])
         return loss, aux
 
     def payload_fn(params):
@@ -201,8 +202,10 @@ def build_nwp_task(cfg, bayes_key=None, n_bayes=10000):
         ce = cross_entropy(logits.reshape(-1, logits.shape[-1]),
                            batch["targets"].reshape(-1))
         plain = jnp.mean(jnp.mean(ce.reshape(-1, batch["targets"].shape[1]), axis=1))
-        aux = {"loss": plain, "compare": kl_divergence(logits, batch["pp"]),
+        aux = {"loss": plain,
                "pen0": p0, "pen1": p1, "pen2": p2, "pen3": p3}
+        if batch["pp"] is not None:
+            aux["compare"] = kl_divergence(logits, batch["pp"])
         return loss, aux
 
     def payload_fn(params):
@@ -337,8 +340,9 @@ def build_sequential_dns_task(cfg, clip_feature="GT", logs_root="logs",
         loss, p0, p1, p2, p3 = conditional_guided_ls_loss(
             (pred, guides), targets, penalty=cfg.penalty, guide=guide)
         aux = {"loss": ls_loss(pred, batch["clean"]),
-               "compare": ls_loss(pred, batch["posterior"]),
                "pen0": p0, "pen1": p1, "pen2": p2, "pen3": p3}
+        if batch["posterior"] is not None:
+            aux["compare"] = ls_loss(pred, batch["posterior"])
         return loss, aux
 
     def payload_fn(params):
@@ -399,8 +403,10 @@ def build_sequential_nwp_task(cfg, clip_feature="GT", logs_root="logs",
         ce = cross_entropy(logits.reshape(-1, logits.shape[-1]),
                            batch["targets"].reshape(-1))
         plain = jnp.mean(jnp.mean(ce.reshape(-1, batch["targets"].shape[1]), axis=1))
-        aux = {"loss": plain, "compare": kl_divergence(logits, batch["pp"]),
+        aux = {"loss": plain,
                "pen0": p0, "pen1": p1, "pen2": p2, "pen3": p3}
+        if batch["pp"] is not None:
+            aux["compare"] = kl_divergence(logits, batch["pp"])
         return loss, aux
 
     def payload_fn(params):

@@ -32,18 +32,27 @@ CLIP = TREE + ["--task=clip", "--job_name=CLIP", "--K=4",
                "--clip_layernorm=True", "--clip_attennorm=True",
                "--penalty=1e-3", "--total_iters=3000"]
 
+# eval_interval=1000: resume-blob writes cost a bulk device→host fetch each;
+# at the reference's 200 a 30k-iter shard would spend minutes just fetching.
 CDM = TREE + ["--job_name=CDM", "--sigma=1", "--d_eb=128", "--n_head=4",
               "--layernorm=True", "--normalize_attn=True", "--penalty=0.1",
-              "--total_iters=30000"]
+              "--total_iters=30000", "--eval_interval=1000"]
 
 VLM = TREE + ["--job_name=VLM", "--d_eb=256", "--n_head=4",
               "--layernorm=True", "--normalize_attn=True", "--penalty=0.001",
-              "--total_iters=30000"]
+              "--total_iters=30000", "--eval_interval=1000"]
 
-# Priority order: the guided-TF CLIP grid unblocks clip-risk.json AND
-# zsc-risk.json; CDM grids unblock cdm-risk.json; VLM grids vlm-risk.json.
-# Variant configs mirror reference scripts/experiments/exp_*.sh exactly.
+# Priority order: the three CLIP grids come first (the sequential CDM/VLM
+# sweeps load the frozen per-p Standard-TF CLIP encoders, and clip-risk.json /
+# zsc-risk.json consume all three); CDM grids unblock cdm-risk.json; VLM
+# grids vlm-risk.json.  Variant configs mirror reference
+# scripts/experiments/exp_*.sh exactly.
 GRIDS = [
+    ("clip_st", CLIP + ["--clip_guide=False", "--lr_max=3e-4",
+                        "--lr_min=3e-7"]),
+    ("clip_sh", [a for a in CLIP if "nlayer" not in a]
+     + ["--clip_tmodel_nlayer=1", "--clip_imodel_nlayer=1",
+        "--clip_guide=False", "--lr_max=3e-4", "--lr_min=3e-7"]),
     ("clip_gt", CLIP + ["--clip_guide=True", "--lr_max=1e-3",
                         "--lr_min=1e-6"]),
     ("cdm_st", CDM + ["--task=sdns", "--clip_feature=TF",
@@ -78,6 +87,8 @@ def main():
                         choices=["default", "high", "highest"])
     parser.add_argument("--stop-after", type=int, default=0,
                         help="pause each shard (resumable) after N iters")
+    parser.add_argument("--remat", action="store_true",
+                        help="per-layer rematerialization (bigger shards)")
     args = parser.parse_args()
 
     import jax
@@ -94,6 +105,8 @@ def main():
         full = argv + [f"--sweep_shard={args.sweep_shard}"]
         if args.stop_after:
             full += [f"--stop_after={args.stop_after}"]
+        if args.remat:
+            full += ["--remat=True"]
         t0 = time.time()
         print(f"===== grid {name} =====", flush=True)
         sweep_cli.main(full)
