@@ -68,13 +68,28 @@ def history_risk_sweep(family_dir, variants, p_grid=P_GRID, *, K=4,
 
     res = defaultdict(list)
     res["p_flip"] = [int(p) for p in p_grid]
+    missing = set()
     for p in p_grid:
         tree = _tree_folder((p, p), K, n_layers, n_childs, flip_scale)
         bayes = None
         for model_name, folder in variants.items():
-            loss, bayes = load_history(family_dir / tree / folder)
+            try:
+                loss, bayes_m = load_history(family_dir / tree / folder)
+            except FileNotFoundError:
+                missing.add(model_name)
+                continue
             res[model_name].append(loss)
+            bayes = bayes_m if bayes is None else bayes
         res["Bayes"].append(bayes)
+    # A variant missing any p-point cannot form an aligned 20-point curve:
+    # drop it (with a warning) rather than emit a ragged JSON.
+    for model_name in missing:
+        res.pop(model_name, None)
+        print(f"history_risk_sweep: variant {model_name!r} incomplete "
+              f"under {family_dir}; omitted from the sweep")
+    if any(b is None for b in res["Bayes"]):
+        raise FileNotFoundError(
+            f"no variant checkpoints found under {family_dir}")
     return dict(res)
 
 
