@@ -65,16 +65,18 @@ GRIDS = [
                       "--lr_max=1e-2", "--lr_min=1e-5"]),
     ("cdm_jt", CDM + ["--task=cdns", "--n_model_layer=9", "--guide=False",
                       "--lr_max=1e-3", "--lr_min=1e-6"]),
+    ("vlm_jt", VLM + ["--task=nwp", "--n_model_layer=9", "--guide=False",
+                      "--lr_max=3e-4", "--lr_min=3e-7"]),
     ("vlm_st", VLM + ["--task=snwp", "--clip_feature=TF",
                       "--n_model_layer=9", "--guide=False",
                       "--lr_max=1e-3", "--lr_min=1e-6"]),
     ("vlm_sh", VLM + ["--task=snwp", "--clip_feature=TF",
                       "--n_model_layer=1", "--guide=False",
                       "--lr_max=1e-3", "--lr_min=1e-6"]),
+    # Guided VLM last: the per-position autoregressive BP guides make it the
+    # most expensive grid; with sweep resume it survives a round boundary.
     ("vlm_gt", VLM + ["--task=nwp", "--n_model_layer=9", "--guide=True",
                       "--lr_max=1e-3", "--lr_min=1e-6"]),
-    ("vlm_jt", VLM + ["--task=nwp", "--n_model_layer=9", "--guide=False",
-                      "--lr_max=3e-4", "--lr_min=3e-7"]),
 ]
 
 
