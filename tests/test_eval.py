@@ -172,3 +172,19 @@ class TestCheckpointInterop:
         nested.mkdir(parents=True)
         (nested / "checkpoint.pth").write_bytes(b"x")
         assert "20260101-000000" in ckpt.latest_checkpoint(str(tmp_path / "run2"))
+
+
+class TestHistoryRiskMissingVariant:
+    def test_incomplete_variant_is_omitted(self, tmp_path):
+        variants = {"Standard TF": "TF_X", "Guided TF": "GT_X"}
+        p_grid = np.array([2, 4])
+        for p in p_grid:
+            tree = f"K4_L4C3p{p}_L4C3p{p}sc10"
+            fake_checkpoint(
+                os.path.join(tmp_path, tree, "TF_X", "ts", "checkpoint.pth"),
+                loss_tail=0.5 + p / 100, bayes=0.4 + p / 100)
+        # Guided TF has no checkpoints at all -> dropped, Standard TF kept.
+        res = history_risk_sweep(tmp_path, variants, p_grid=p_grid)
+        assert "Guided TF" not in res
+        np.testing.assert_allclose(res["Standard TF"], [0.52, 0.54], atol=1e-6)
+        np.testing.assert_allclose(res["Bayes"], [0.42, 0.44], atol=1e-6)

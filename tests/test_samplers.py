@@ -110,3 +110,50 @@ class TestDenoiseSampler:
         pm, x = np.asarray(pm), np.asarray(x)
         err = abs(np.mean(pm**2) - np.mean(pm * x))
         assert err < 3e-3, err
+
+
+class TestDiagnosticsSkip:
+    """diagnostics=False must change only the diagnostic outputs (the sweep
+    hot path skips the per-iteration BP the gradients never touch)."""
+
+    def test_cdns_batch_skips_bp_not_data(self):
+        from ghm_tpu.data.samplers import cdns_batch
+
+        s = ConditionalDenoiseSampler([2, 2], [3, 3], p_flips=[0.2, 0.2],
+                                      sigma=1.0, variable_type=10, seedtree=42)
+        key = jax.random.PRNGKey(3)
+        full = cdns_batch(key, s.t_transition, s.i_transition, 10, 1.0, 8,
+                          False, (3, 3), diagnostics=True)
+        fast = cdns_batch(key, s.t_transition, s.i_transition, 10, 1.0, 8,
+                          False, (3, 3), diagnostics=False)
+        np.testing.assert_array_equal(np.asarray(full[0][0]),
+                                      np.asarray(fast[0][0]))  # text leaves
+        np.testing.assert_array_equal(np.asarray(full[1][0]),
+                                      np.asarray(fast[1][0]))  # noisy z
+        assert full[1][3] is not None and fast[1][3] is None
+
+    def test_nwp_batch_skips_bp_not_data(self):
+        from ghm_tpu.data.samplers import nwp_batch
+
+        s = NextWordPredictSampler([2, 2], [3, 3], p_flips=[0.2, 0.2],
+                                   variable_type=10, seedtree=42)
+        key = jax.random.PRNGKey(4)
+        full = nwp_batch(key, s.t_transition, s.i_transition, 10, 8,
+                         False, (3, 3), diagnostics=True)
+        fast = nwp_batch(key, s.t_transition, s.i_transition, 10, 8,
+                         False, (3, 3), diagnostics=False)
+        np.testing.assert_array_equal(np.asarray(full[0][0]),
+                                      np.asarray(fast[0][0]))  # inputs
+        np.testing.assert_array_equal(np.asarray(full[0][1]),
+                                      np.asarray(fast[0][1]))  # targets
+        assert full[0][3] is not None and fast[0][3] is None
+
+    def test_guided_ignores_diagnostics_flag(self):
+        from ghm_tpu.data.samplers import cdns_batch
+
+        s = ConditionalDenoiseSampler([2, 2], [3, 3], p_flips=[0.2, 0.2],
+                                      sigma=1.0, variable_type=10, seedtree=42)
+        key = jax.random.PRNGKey(5)
+        res = cdns_batch(key, s.t_transition, s.i_transition, 10, 1.0, 8,
+                         True, (3, 3), diagnostics=False)
+        assert res[0][2] is not None and res[1][3] is not None
