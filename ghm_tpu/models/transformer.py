@@ -240,6 +240,11 @@ class AutoRegressiveTransformer:
         self.n_i_guided_layer = n_guided_layers[1]
         self.t_guided_layer_flag, self.i_guided_layer_flag = _ar_guided_flags(
             n_layer, self.n_t_guided_layer, self.n_i_guided_layer, guide)
+        if guide and (3 * self.n_t_guided_layer + 1) * num_class > n_embd:
+            raise ValueError(
+                "guided hidden-block slicing needs n_embd >= "
+                "(3*n_t_guided_layers + 1) * num_class "
+                f"({(3 * self.n_t_guided_layer + 1) * num_class} > {n_embd})")
         self._mask = prefix_lm_mask(n_token, n_i_token) if auto_regressive else None
 
     def init(self, key):
@@ -371,6 +376,13 @@ class ConditionalDenoiseEncoderTransformer:
         # Image depth drives the spacing here (model.py:372, 407-416).
         self.i_guided_layer_flag, self.t_guided_layer_flag = _ar_guided_flags(
             n_layer, self.n_i_guided_layer, self.n_t_guided_layer, guide)
+        need = max(self.n_t_guided_layer + self.n_i_guided_layer + 1,
+                   2 * self.n_t_guided_layer + self.n_i_guided_layer)
+        if guide and need * num_class > n_embd:
+            raise ValueError(
+                "guided hidden-block slicing needs n_embd >= "
+                "max(n_t+n_i+1, 2*n_t+n_i) * num_class "
+                f"({need * num_class} > {n_embd})")
         self._mask = prefix_lm_mask(n_token, n_i_token) if auto_regressive else None
 
     def init(self, key):
