@@ -76,37 +76,28 @@ def main(argv=None):
             break
 
 
-def _run_one(cfg, p_list, logger):
-
+def _model_name_and_total(cfg):
+    """Checkpoint-folder model name and step count, cheaply (no spec build)."""
     if cfg.task == "clip":
         model_name = (f"L{cfg.clip_tmodel_nlayer}H{cfg.clip_tmodel_nhead}"
                       f"D{cfg.clip_tmodel_deb}_L{cfg.clip_imodel_nlayer}"
                       f"H{cfg.clip_imodel_nhead}D{cfg.clip_imodel_deb}")
         model_name = ("GT_" if cfg.clip_guide else "TF_") + model_name
-        spec = clip_sweep_spec(cfg, p_list, model_name)
-        total = cfg.total_iters + 1  # reference CLIP quirk (train_CLIP.py:139)
-    elif cfg.task == "cdns":
+        # Reference CLIP quirk: trains total_iters + 1 steps (train_CLIP.py:139).
+        return model_name, cfg.total_iters + 1
+    if cfg.task in ("cdns", "nwp"):
         model_name = f"L{cfg.n_model_layer}H{cfg.n_head}D{cfg.d_eb}"
-        model_name = ("GT_" if cfg.guide else "JT_") + model_name
-        spec = cdns_sweep_spec(cfg, p_list, model_name)
-        total = cfg.total_iters
-    elif cfg.task == "nwp":
+        return ("GT_" if cfg.guide else "JT_") + model_name, cfg.total_iters
+    if cfg.task in ("sdns", "snwp"):
         model_name = f"L{cfg.n_model_layer}H{cfg.n_head}D{cfg.d_eb}"
-        model_name = ("GT_" if cfg.guide else "JT_") + model_name
-        spec = nwp_sweep_spec(cfg, p_list, model_name)
-        total = cfg.total_iters
-    elif cfg.task in ("sdns", "snwp"):
-        model_name = f"L{cfg.n_model_layer}H{cfg.n_head}D{cfg.d_eb}"
-        prefix = "GT_" if cfg.guide else ("ShT_" if cfg.n_model_layer == 1 else "StT_")
-        model_name = prefix + model_name
-        builder = sdns_sweep_spec if cfg.task == "sdns" else snwp_sweep_spec
-        spec = builder(cfg, p_list, model_name, clip_feature=cfg.clip_feature)
-        total = cfg.total_iters
-    else:
-        raise SystemExit(f"unknown sweep task {cfg.task!r}")
+        prefix = ("GT_" if cfg.guide
+                  else ("ShT_" if cfg.n_model_layer == 1 else "StT_"))
+        return prefix + model_name, cfg.total_iters
+    raise SystemExit(f"unknown sweep task {cfg.task!r}")
 
-    for p, (b, s) in zip(p_list, spec.bayes):
-        logger.info(f"p={p}: Bayes {b:.4f} (±{s:.4f})")
+
+def _run_one(cfg, p_list, logger):
+    model_name, total = _model_name_and_total(cfg)
 
     resume_path = None
     if cfg.resume and not cfg.raw:
@@ -114,6 +105,31 @@ def _run_one(cfg, p_list, logger):
                f"-{int(round(p_list[-1] * 100))}_T{total}")
         resume_path = os.path.join("logs", cfg.job_name, ".sweep_resume",
                                    tag + ".pkl")
+        # Check completion BEFORE building the spec: the spec builders run the
+        # 10k-sample Bayes Monte Carlo per p on device, which costs minutes
+        # per shard — wasted work when a relaunched queue is only skipping
+        # past grids it already finished.
+        if os.path.exists(resume_path):
+            from ghm_tpu.parallel.sweep import load_resume_blob
+
+            if load_resume_blob(resume_path).get("done"):
+                logger.info(f"sweep[{cfg.task}] already complete per "
+                            f"{resume_path}; skipping (delete the blob to "
+                            f"retrain)")
+                return False
+
+    if cfg.task == "clip":
+        spec = clip_sweep_spec(cfg, p_list, model_name)
+    elif cfg.task == "cdns":
+        spec = cdns_sweep_spec(cfg, p_list, model_name)
+    elif cfg.task == "nwp":
+        spec = nwp_sweep_spec(cfg, p_list, model_name)
+    else:  # sdns / snwp (validated in _model_name_and_total)
+        builder = sdns_sweep_spec if cfg.task == "sdns" else snwp_sweep_spec
+        spec = builder(cfg, p_list, model_name, clip_feature=cfg.clip_feature)
+
+    for p, (b, s) in zip(p_list, spec.bayes):
+        logger.info(f"p={p}: Bayes {b:.4f} (±{s:.4f})")
     params, results = run_sweep(
         spec, total_iters=total, lr_max=cfg.lr_max, lr_min=cfg.lr_min,
         warmup_iters=cfg.warmup_iters, max_norm=cfg.max_norm,

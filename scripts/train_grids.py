@@ -55,6 +55,15 @@ GRIDS = [
         "--clip_guide=False", "--lr_max=3e-4", "--lr_min=3e-7"]),
     ("clip_gt", CLIP + ["--clip_guide=True", "--lr_max=1e-3",
                         "--lr_min=1e-6"]),
+    # Provenance test (VERDICT round-1 Missing #4): does a 10x iteration
+    # budget bring standard-TF CLIP at p=0.2 to the published 0.641 tail?
+    # Separate job dir so eval scans of logs/CLIP never see it.
+    ("clip_30k", [a for a in CLIP if not a.startswith(("--p_list",
+                                                       "--total_iters",
+                                                       "--job_name"))]
+     + ["--p_list=0.2", "--total_iters=30000", "--job_name=CLIP30K",
+        "--clip_guide=False", "--lr_max=3e-4", "--lr_min=3e-7",
+        "--eval_interval=2000"]),
     ("cdm_st", CDM + ["--task=sdns", "--clip_feature=TF",
                       "--n_model_layer=9", "--guide=False",
                       "--lr_max=1e-3", "--lr_min=1e-6"]),
