@@ -253,6 +253,34 @@ class TestSweep:
         p, res = run_sweep(spec_c, save=True, resume_path=blob_path, **common)
         assert p is None and res is None
 
+    def test_sweep_cli_skips_done_shard_before_spec_build(self, tmp_path,
+                                                          monkeypatch):
+        """A relaunched queue must skip completed shards WITHOUT re-running
+        the per-p Bayes Monte Carlo (which lives in the spec builders and
+        costs minutes per shard on the tunneled TPU)."""
+        import pickle
+
+        from ghm_tpu.train import sweep as sweep_cli
+
+        monkeypatch.chdir(tmp_path)
+        blob_dir = tmp_path / "logs" / "CLIP" / ".sweep_resume"
+        blob_dir.mkdir(parents=True)
+        with open(blob_dir / "clip_TF_L2H4D64_L2H4D64_p10-30_T41.pkl",
+                  "wb") as f:
+            pickle.dump({"done": True, "n_models": 2, "total": 41,
+                         "run_dirs": []}, f)
+
+        def boom(*a, **kw):
+            raise AssertionError("spec builder ran for a completed shard")
+
+        monkeypatch.setattr(sweep_cli, "clip_sweep_spec", boom)
+        sweep_cli.main([
+            "--task=clip", "--job_name=CLIP", "--p_list=0.1,0.3",
+            "--clip_tmodel_nlayer=2", "--clip_imodel_nlayer=2",
+            "--clip_tmodel_deb=64", "--clip_imodel_deb=64",
+            "--total_iters=40", "--raw=False",
+        ])
+
 
 class TestConfigCLI:
     def test_parse_reference_style_flags(self):
