@@ -1,0 +1,72 @@
+"""Compare the reference CDM arbiter run (tools/train_reference_cdm.py ->
+ref_cdm_train.npz) against ghm_tpu's joint-train CDM loss curve at p=0.2,
+using the reference trainers' logging convention (mean over the window
+``[it/2, it)``) so numbers line up with both sides' training logs.
+
+ghm_tpu side: reads ``loss_history``/``compare`` from the p=0.2 JT sweep
+checkpoint (logs/CDM/K4_L4C3p20_L4C3p20sc10/JT_L9H4D128/*/checkpoint.pth)
+when it exists, else accepts an explicit --ckpt path.
+
+Usage: python tools/compare_cdm_arbiter.py [--ckpt path]
+"""
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+NPZ = "/root/repo/ref_cdm_train.npz"
+DEFAULT_GLOB = ("/root/repo/logs/CDM/K4_L4C3p20_L4C3p20sc10/JT_L9H4D128/"
+                "*/checkpoint.pth")
+
+
+def window(h, it):
+    return float(np.mean(h[it // 2: it]))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", default=None)
+    args = parser.parse_args()
+
+    d = np.load(NPZ)
+    upto = int(d["upto"])
+    print(f"reference arbiter: {upto} iters, Bayes {float(d['bayes']):.4f}")
+
+    ckpt_path = args.ckpt or next(iter(sorted(glob.glob(DEFAULT_GLOB))), None)
+    ours = None
+    if ckpt_path and os.path.exists(ckpt_path):
+        import torch
+
+        payload = torch.load(ckpt_path, map_location="cpu",
+                             weights_only=False)
+        ours = {
+            "loss": np.asarray(payload["loss_history"]),
+            "compare": np.asarray(payload.get("compare",
+                                              np.zeros(0))),
+            "iter": int(payload["iter"]),
+        }
+        print(f"ghm_tpu JT checkpoint: {ckpt_path} (iter {ours['iter']})")
+    else:
+        print("ghm_tpu JT p=0.2 checkpoint not found yet; showing the "
+              "reference side only")
+
+    marks = [200, 400, 600, 800, 1000, 1500, 2000, 3000, 5000, 10000, 20000,
+             29900]
+    print(f"{'iter':>6} {'ref loss':>9} {'ref cmp':>8} "
+          f"{'ghm loss':>9} {'ghm cmp':>8}")
+    for it in marks:
+        if it > upto:
+            break
+        row = f"{it:>6} {window(d['hist'], it):>9.4f} " \
+              f"{window(d['chist'], it):>8.4f}"
+        if ours is not None and it <= ours["iter"]:
+            row += f" {window(ours['loss'], it):>9.4f}"
+            if ours["compare"].size:
+                row += f" {window(ours['compare'], it):>8.4f}"
+        print(row)
+
+
+if __name__ == "__main__":
+    main()
