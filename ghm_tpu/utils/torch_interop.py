@@ -16,6 +16,8 @@ training/eval hot paths never import it.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -79,4 +81,8 @@ def save_pth_checkpoint(path, payload):
             return torch.from_numpy(np.ascontiguousarray(obj))
         return obj
 
-    torch.save(conv(payload), path)
+    # Atomic publish: checkpoints are snapshotted/committed while training
+    # runs, so a reader must never observe a half-written container.
+    tmp = f"{path}.tmp"
+    torch.save(conv(payload), tmp)
+    os.replace(tmp, path)

@@ -1,0 +1,91 @@
+"""Persist trained artifacts across round boundaries by committing them.
+
+``logs/`` is gitignored (live checkpoint writes can race ``git add``), but the
+workspace is re-created from git between build rounds: anything not committed
+is LOST (round 1's trained suite vanished this way and the CLIP grids had to
+be retrained).  This tool force-adds the *stable* artifacts — checkpoints that
+verify as loadable and resume blobs (written atomically via ``os.replace``) —
+so the next round resumes instead of retraining.
+
+Usage:
+    python scripts/persist_artifacts.py           # stage verified artifacts
+    python scripts/persist_artifacts.py --commit  # stage + commit
+
+Run it whenever a grid finishes, and always at end of round (ideally with
+trainers stopped so every final checkpoint is stable).
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+os.chdir(REPO)
+
+# A checkpoint younger than this may still be mid-write (torch.save is
+# followed by os.replace since round 2, but trainers launched before that fix
+# can still write in place).
+STABLE_AGE_S = 120
+
+
+def loadable(path):
+    import torch
+
+    try:
+        torch.load(path, map_location="cpu", weights_only=False)
+        return True
+    except Exception as exc:
+        print(f"  SKIP (unloadable): {path}: {type(exc).__name__}: {exc}")
+        return False
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--commit", action="store_true")
+    parser.add_argument("--message", default="Persist trained artifacts")
+    parser.add_argument("--no-verify-load", action="store_true",
+                        help="skip torch.load verification (faster)")
+    args = parser.parse_args()
+
+    now = time.time()
+    to_add = []
+    for root, _dirs, files in os.walk("logs"):
+        for fname in files:
+            path = os.path.join(root, fname)
+            keep = (
+                fname == "checkpoint.pth"
+                or (os.path.basename(root) == ".sweep_resume"
+                    and fname.endswith(".pkl"))
+                or fname in ("config.log", "training.log")
+            )
+            if not keep:
+                continue
+            if now - os.path.getmtime(path) < STABLE_AGE_S:
+                print(f"  SKIP (recently written): {path}")
+                continue
+            if (fname == "checkpoint.pth" and not args.no_verify_load
+                    and not loadable(path)):
+                continue
+            to_add.append(path)
+
+    if not to_add:
+        print("nothing to persist")
+        return
+    total = sum(os.path.getsize(p) for p in to_add) / 1e6
+    print(f"staging {len(to_add)} files ({total:.0f} MB)")
+    # Batched to keep the command line bounded.
+    for i in range(0, len(to_add), 100):
+        subprocess.run(["git", "add", "-f", "--", *to_add[i:i + 100]],
+                       check=True)
+    if args.commit:
+        staged = subprocess.run(["git", "diff", "--cached", "--quiet"])
+        if staged.returncode == 0:
+            print("nothing newly staged; no commit")
+            return
+        subprocess.run(["git", "commit", "-m", args.message], check=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -32,13 +32,21 @@ def run_script(stem):
     mod.main()
 
 
+def _stage_copy(src, dst, *, follow_symlinks=True):
+    # Prior stagings may have hardlinked checkpoints; copying a file onto
+    # itself raises SameFileError, so leave identical files in place.
+    if os.path.exists(dst) and os.path.samefile(src, dst):
+        return dst
+    return shutil.copy2(src, dst, follow_symlinks=follow_symlinks)
+
+
 def main():
     os.makedirs("checkpoints", exist_ok=True)
     for fam in ("CLIP", "CDM", "VLM"):
         if os.path.isdir(os.path.join("logs", fam)):
             shutil.copytree(os.path.join("logs", fam),
                             os.path.join("checkpoints", fam),
-                            dirs_exist_ok=True)
+                            dirs_exist_ok=True, copy_function=_stage_copy)
     stems = sys.argv[1:] or DEFAULT
     for stem in stems:
         t0 = time.time()
