@@ -62,7 +62,11 @@ def main():
             )
             if not keep:
                 continue
-            if now - os.path.getmtime(path) < STABLE_AGE_S:
+            # Resume blobs are published atomically (tmp + os.replace), so a
+            # snapshot is always consistent; .pth files written by trainers
+            # launched before the atomic-write fix need the stability window.
+            atomic = fname.endswith(".pkl")
+            if not atomic and now - os.path.getmtime(path) < STABLE_AGE_S:
                 print(f"  SKIP (recently written): {path}")
                 continue
             if (fname == "checkpoint.pth" and not args.no_verify_load

@@ -13,8 +13,13 @@ Usage: python tools/compare_cdm_arbiter.py [--ckpt path]
 import argparse
 import glob
 import os
+import sys
 
 import numpy as np
+
+# The resume blob pickles ghm_tpu optimizer-state types.
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
 
 NPZ = "/root/repo/ref_cdm_train.npz"
 DEFAULT_GLOB = ("/root/repo/logs/CDM/K4_L4C3p20_L4C3p20sc10/JT_L9H4D128/"
@@ -49,8 +54,29 @@ def main():
         }
         print(f"ghm_tpu JT checkpoint: {ckpt_path} (iter {ours['iter']})")
     else:
-        print("ghm_tpu JT p=0.2 checkpoint not found yet; showing the "
-              "reference side only")
+        # Mid-sweep fallback: per-model checkpoints are only written at
+        # completion, but the resume blob carries every model's running
+        # loss/compare histories.
+        blob_path = ("/root/repo/logs/CDM/.sweep_resume/"
+                     "cdns_JT_L9H4D128_p2-20_T30000.pkl")
+        if os.path.exists(blob_path):
+            import pickle
+
+            with open(blob_path, "rb") as f:
+                blob = pickle.load(f)
+            idx = next(i for i, rd in enumerate(blob["run_dirs"])
+                       if "p20_" in rd or "p20/" in rd or "p20sc" in rd)
+            upto_ghm = int(blob["iter"])
+            ours = {
+                "loss": np.asarray(blob["loss_hist"][idx]),
+                "compare": (np.asarray(blob["compare_hist"][idx])
+                            if blob.get("has_compare") else np.zeros(0)),
+                "iter": upto_ghm,
+            }
+            print(f"ghm_tpu JT from resume blob (iter {upto_ghm})")
+        else:
+            print("ghm_tpu JT p=0.2 checkpoint not found yet; showing the "
+                  "reference side only")
 
     marks = [200, 400, 600, 800, 1000, 1500, 2000, 3000, 5000, 10000, 20000,
              29900]
