@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
 NPZ = "/root/repo/ref_cdm_train.npz"
+# Committed snapshot (tools/data/) used when the live arbiter npz is absent
+# (workspace resets drop gitignored files).
+NPZ_FALLBACK = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "ref_cdm_curve.npz")
 DEFAULT_GLOB = ("/root/repo/logs/CDM/K4_L4C3p20_L4C3p20sc10/JT_L9H4D128/"
                 "*/checkpoint.pth")
 
@@ -35,7 +39,7 @@ def main():
     parser.add_argument("--ckpt", default=None)
     args = parser.parse_args()
 
-    d = np.load(NPZ)
+    d = np.load(NPZ if os.path.exists(NPZ) else NPZ_FALLBACK)
     upto = int(d["upto"])
     print(f"reference arbiter: {upto} iters, Bayes {float(d['bayes']):.4f}")
 
