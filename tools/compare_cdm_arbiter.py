@@ -39,7 +39,11 @@ def main():
     parser.add_argument("--ckpt", default=None)
     args = parser.parse_args()
 
-    d = np.load(NPZ if os.path.exists(NPZ) else NPZ_FALLBACK)
+    # Prefer whichever arbiter curve has more iterations: the live npz is
+    # rewritten from scratch on every arbiter relaunch, so a fresh run can
+    # briefly be shorter than the committed snapshot.
+    candidates = [p for p in (NPZ, NPZ_FALLBACK) if os.path.exists(p)]
+    d = max((np.load(p) for p in candidates), key=lambda x: int(x["upto"]))
     upto = int(d["upto"])
     print(f"reference arbiter: {upto} iters, Bayes {float(d['bayes']):.4f}")
 
