@@ -37,7 +37,18 @@ def _stage_copy(src, dst, *, follow_symlinks=True):
     # itself raises SameFileError, so leave identical files in place.
     if os.path.exists(dst) and os.path.samefile(src, dst):
         return dst
-    return shutil.copy2(src, dst, follow_symlinks=follow_symlinks)
+    try:
+        return shutil.copy2(src, dst, follow_symlinks=follow_symlinks)
+    except FileNotFoundError:
+        # Live sweeps publish atomically (tmp + os.replace); a tmp file can
+        # vanish between copytree's listdir and the copy.  Evals only need
+        # checkpoint.pth, so a vanished transient is safe to skip.
+        return dst
+
+
+# Resume blobs and in-flight atomic-write temporaries are trainer state, not
+# eval inputs; excluding them keeps staging race-free alongside live sweeps.
+_STAGE_IGNORE = shutil.ignore_patterns(".sweep_resume", "*.tmp")
 
 
 def main():
@@ -46,7 +57,8 @@ def main():
         if os.path.isdir(os.path.join("logs", fam)):
             shutil.copytree(os.path.join("logs", fam),
                             os.path.join("checkpoints", fam),
-                            dirs_exist_ok=True, copy_function=_stage_copy)
+                            dirs_exist_ok=True, copy_function=_stage_copy,
+                            ignore=_STAGE_IGNORE)
     stems = sys.argv[1:] or DEFAULT
     for stem in stems:
         t0 = time.time()
