@@ -192,14 +192,25 @@ def nwp_sweep_spec(cfg, p_list, model_name, n_bayes=10000, logs_root="./logs"):
 
 
 def _write_resume_blob(path, blob):
-    """Atomic pickle write (tmp + rename) so a kill never corrupts it."""
+    """Atomic pickle write (tmp + rename) so a kill never corrupts it.
+
+    The tmp name embeds the pid: if two processes ever train the same
+    shard (an operator mistake, but it happened), a shared ``.tmp`` name
+    makes one writer's ``os.replace`` race the other's and crash the
+    whole sweep queue with FileNotFoundError. Unique tmp names make the
+    duplicate merely wasteful, and the rename is tolerated if a
+    concurrent writer won anyway.
+    """
     import pickle
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "wb") as f:
         pickle.dump(blob, f, protocol=4)
-    os.replace(tmp, path)
+    try:
+        os.replace(tmp, path)
+    except FileNotFoundError:
+        pass
 
 
 def load_resume_blob(path):

@@ -82,7 +82,13 @@ def save_pth_checkpoint(path, payload):
         return obj
 
     # Atomic publish: checkpoints are snapshotted/committed while training
-    # runs, so a reader must never observe a half-written container.
-    tmp = f"{path}.tmp"
+    # runs, so a reader must never observe a half-written container. The
+    # pid in the tmp name keeps concurrent writers of the same path (two
+    # processes accidentally training one shard) from racing each other's
+    # rename.
+    tmp = f"{path}.{os.getpid()}.tmp"
     torch.save(conv(payload), tmp)
-    os.replace(tmp, path)
+    try:
+        os.replace(tmp, path)
+    except FileNotFoundError:
+        pass
