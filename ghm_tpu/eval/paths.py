@@ -1,4 +1,4 @@
-"""Repository-relative paths shared by figure evaluation scripts.
+"""Path contract for evaluation artifacts, relative to the repo root.
 
 Counterpart of reference ``figures/eval_paths.py``: checkpoints live under
 ``checkpoints/<FAMILY>/<tree_folder>/<model_folder>/[<timestamp>/]checkpoint.pth``

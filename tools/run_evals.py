@@ -1,15 +1,23 @@
-"""Run the evaluation scripts in one process (one TPU claim).
+"""The one in-process evaluation runner (single TPU claim).
 
-Stages logs/ -> checkpoints/ and executes the requested figures/eval-*.py
-scripts in-process.  On one-claim-per-process TPU relays (CLAUDE.md) this is
-the reliable way to run the whole evaluation pipeline.
+``scripts/reproduce_eval.sh`` launches each ``figures/eval-*.py`` as its own
+process, which is the reference's layout — but over the one-claim TPU relay
+each process pays claim negotiation plus cold jit caches.  This runner stages
+``logs/`` into ``checkpoints/`` (the eval scripts' input contract,
+``ghm_tpu/eval/paths.py``) and executes the requested scripts sequentially
+in-process, sharing the jitted BP/model executables across evals.
 
 Usage:
-    python tools/run_evals.py [script-stem ...]   # default: OOD set
+    python tools/run_evals.py [stems ...] [--only clip-risk,...]
+                              [--figures] [--no-stage]
 e.g.
-    python tools/run_evals.py eval-clip-ood eval-zsc-ood eval-cdm-ood eval-vlm-ood
+    python tools/run_evals.py eval-cdm-risk eval-vlm-risk --figures
+    python tools/run_evals.py --only clip-ood,zsc-ood
+Default with no stems/--only: the full 9-script eval set (risk + OOD +
+numsamples), mirroring reference ``scripts/reproduce_eval.sh:42-54``.
 """
 
+import argparse
 import importlib.util
 import os
 import shutil
@@ -21,15 +29,32 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "figures"))
 os.chdir(REPO)
 
-DEFAULT = ["eval-clip-ood", "eval-zsc-ood", "eval-cdm-ood", "eval-vlm-ood"]
+ALL_STEMS = [
+    "eval-clip-risk",
+    "eval-cdm-risk",
+    "eval-vlm-risk",
+    "eval-zsc-risk",
+    "eval-zsc-numsamples",
+    "eval-clip-ood",
+    "eval-zsc-ood",
+    "eval-cdm-ood",
+    "eval-vlm-ood",
+]
 
 
-def run_script(stem):
+def run_script(stem, argv=()):
     path = os.path.join(REPO, "figures", stem + ".py")
     spec = importlib.util.spec_from_file_location(stem.replace("-", "_"), path)
     mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.main()
+    # Scripts with their own argparse (plot_figures) read sys.argv; hide this
+    # runner's flags from them.
+    saved = sys.argv
+    sys.argv = [path, *argv]
+    try:
+        spec.loader.exec_module(mod)
+        mod.main()
+    finally:
+        sys.argv = saved
 
 
 def _stage_copy(src, dst, *, follow_symlinks=True):
@@ -51,7 +76,7 @@ def _stage_copy(src, dst, *, follow_symlinks=True):
 _STAGE_IGNORE = shutil.ignore_patterns(".sweep_resume", "*.tmp")
 
 
-def main():
+def stage():
     os.makedirs("checkpoints", exist_ok=True)
     for fam in ("CLIP", "CDM", "VLM"):
         if os.path.isdir(os.path.join("logs", fam)):
@@ -59,12 +84,41 @@ def main():
                             os.path.join("checkpoints", fam),
                             dirs_exist_ok=True, copy_function=_stage_copy,
                             ignore=_STAGE_IGNORE)
-    stems = sys.argv[1:] or DEFAULT
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("stems", nargs="*",
+                        help="eval script stems, e.g. eval-cdm-risk")
+    parser.add_argument("--only", default=None,
+                        help="comma-separated short names (e.g. clip-risk)")
+    parser.add_argument("--figures", action="store_true",
+                        help="render all figure PDFs afterwards")
+    parser.add_argument("--no-stage", action="store_true",
+                        help="skip the logs/ -> checkpoints/ staging pass")
+    args = parser.parse_args(argv)
+
+    stems = list(args.stems)
+    if args.only:
+        stems += ["eval-" + n.strip() for n in args.only.split(",") if n]
+    if not stems:
+        stems = ALL_STEMS
+
+    if not args.no_stage:
+        stage()
     for stem in stems:
         t0 = time.time()
         print(f"===== {stem} =====", flush=True)
-        run_script(stem)
-        print(f"===== {stem} done in {time.time() - t0:.0f}s =====", flush=True)
+        try:
+            run_script(stem)
+        except FileNotFoundError as exc:
+            print(f"SKIPPED {stem}: missing checkpoints ({exc})", flush=True)
+        print(f"===== {stem} done in {time.time() - t0:.0f}s =====",
+              flush=True)
+
+    if args.figures:
+        print("===== plot_figures =====", flush=True)
+        run_script("plot_figures")
 
 
 if __name__ == "__main__":
