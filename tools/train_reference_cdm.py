@@ -6,9 +6,12 @@ different conditions than the committed scripts record.
 
 Config mirrors reference exp_cdm_jointtrain.sh + train_CDNS.py (lr 1e-3,
 penalty 0.1, guide=False, 30k iters).  CPU-only; writes running history to
-/root/repo/ref_cdm_train.npz every 100 iters so any prefix is usable.
+/root/repo/ref_cdm_train.npz every 100 iters so any prefix is usable, and a
+full resume snapshot (model + optimizer + histories) to
+/root/repo/ref_cdm_resume.pt every 500 iters so a relaunch continues instead
+of restarting (round-2 lost a 7,600-iter run to a restart).
 """
-import sys, time
+import os, sys, time
 import numpy as np
 
 sys.path.insert(0, "/root/reference/src")
@@ -41,8 +44,23 @@ opt = AdamW(params=model.parameters(), lr=None)
 hist = np.zeros(TOTAL)
 phist = np.zeros(TOTAL)
 chist = np.zeros(TOTAL)
+start_it = 0
+RESUME = "/root/repo/ref_cdm_resume.pt"
+if os.path.exists(RESUME):
+    snap = torch.load(RESUME, weights_only=False)
+    model.load_state_dict(snap["model"])
+    opt.load_state_dict(snap["opt"])
+    start_it = int(snap["it"]) + 1
+    hist[:start_it] = snap["hist"][:start_it]
+    phist[:start_it] = snap["phist"][:start_it]
+    chist[:start_it] = snap["chist"][:start_it]
+    # The sampler RNG restarts, so the resumed data stream is a fresh i.i.d.
+    # draw rather than a bit-level continuation — statistically equivalent
+    # for the arbiter-curve comparison.
+    print(f"resuming from snapshot at it {start_it}", flush=True)
+
 t0 = time.time()
-for it in range(TOTAL):
+for it in range(start_it, TOTAL):
     opt.zero_grad()
     res_text, res_image = sampler.get_batch(device="cpu", batch_size=B,
                                             guide=False)
@@ -62,6 +80,11 @@ for it in range(TOTAL):
         print(f"it {it} loss(win) {hist[max(0, it-100):it+1].mean():.4f} "
               f"compare(win) {chist[max(0, it-100):it+1].mean():.4f} "
               f"{time.time()-t0:.0f}s", flush=True)
+    if it % 500 == 0 and it > start_it:
+        torch.save({"model": model.state_dict(), "opt": opt.state_dict(),
+                    "it": it, "hist": hist, "phist": phist, "chist": chist},
+                   RESUME + ".tmp")
+        os.replace(RESUME + ".tmp", RESUME)
 np.savez("/root/repo/ref_cdm_train.npz", hist=hist, phist=phist, chist=chist,
          bayes=bayes, upto=TOTAL)
 print("final100 loss:", hist[-100:].mean(), "compare:", chist[-100:].mean())

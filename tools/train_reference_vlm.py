@@ -1,0 +1,92 @@
+"""Train the reference (torch) joint-train VLM (NWP) at p=0.2 on this host,
+as the arbiter row that makes the provenance evidence uniform across tasks
+(PARITY.md): if the reference's own code at the committed config
+(scripts/experiments/exp_vlm_jointtrain.sh + training/train_NWP.py) tracks
+the ghm_tpu loss/compare curves, any residual gap vs the published
+checkpoints is a provenance artifact, not an implementation difference.
+
+Config mirrors reference exp_vlm_jointtrain.sh (lr 3e-4..3e-7, penalty
+0.001, guide=False, D256 L9, 30k iters).  CPU-only; writes running history
+to /root/repo/ref_vlm_train.npz every 100 iters so any prefix is usable,
+and a full resume snapshot to /root/repo/ref_vlm_resume.pt every 500 iters
+so a relaunch continues instead of restarting.
+"""
+import os, sys, time
+import numpy as np
+
+sys.path.insert(0, "/root/reference/src")
+import torch
+from ghmclip.data.data_random_GHM import NextWordPredictSampler
+from ghmclip.models.model import AutoRegressiveTransformer, seed_everything
+from ghmclip.models.model import ConditionalGuidedCELoss, KLdiv
+from ghmclip.models.optimizer import AdamW, get_lr_cosine_schedule
+
+V, B, TOTAL = 10, 128, 30000
+p_y = np.ones(V) / V
+sampler = NextWordPredictSampler([4, 4], [3, 3], [p_y, p_y], [0.2, 0.2],
+                                 flip_scale=1.0, variable_type=V,
+                                 translation_invariance=True, seedtree=42)
+bayes, bayes_std = sampler.get_Bayes(n_eval=10000)
+print(f"Bayes: {bayes:.4f} (±{bayes_std:.4f})", flush=True)
+
+seed_everything(224)
+# n_token = 81 + 81 - 1 = 161 (text prefix + full image context), as
+# reference train_NWP.py:37-39 computes it.
+model = AutoRegressiveTransformer(
+    n_token=161, n_i_token=81, num_class=V, n_embd=256, n_layer=9,
+    n_guided_layers=[4, 4], n_head=4, n_mlp_hidden=1024,
+    auto_regressive=True, activation="softmax", mlp=True,
+    normalize_attn=True, layernorm=True, sequential=False, guide=False)
+loss = ConditionalGuidedCELoss(penalty=0.001, guide=False)
+loss_nop = ConditionalGuidedCELoss(penalty=0, guide=False)
+compare = KLdiv()
+opt = AdamW(params=model.parameters(), lr=None)
+
+hist = np.zeros(TOTAL)
+phist = np.zeros(TOTAL)
+chist = np.zeros(TOTAL)
+start_it = 0
+RESUME = "/root/repo/ref_vlm_resume.pt"
+if os.path.exists(RESUME):
+    snap = torch.load(RESUME, weights_only=False)
+    model.load_state_dict(snap["model"])
+    opt.load_state_dict(snap["opt"])
+    start_it = int(snap["it"]) + 1
+    hist[:start_it] = snap["hist"][:start_it]
+    phist[:start_it] = snap["phist"][:start_it]
+    chist[:start_it] = snap["chist"][:start_it]
+    # The sampler RNG restarts, so the resumed data stream is a fresh i.i.d.
+    # draw rather than a bit-level continuation — statistically equivalent
+    # for the arbiter-curve comparison.
+    print(f"resuming from snapshot at it {start_it}", flush=True)
+
+t0 = time.time()
+for it in range(start_it, TOTAL):
+    opt.zero_grad()
+    res_text, res_image = sampler.get_batch(device="cpu", batch_size=B,
+                                            guide=False)
+    guided_layers = [res_text[-2], res_image[-2]]
+    posterior = res_text[-1]
+    out = model(res_text[0], res_image[0])
+    output = loss(out, [res_text[1], guided_layers], verbose=False)
+    output[0].backward()
+    phist[it] = output[0].item()
+    hist[it] = loss_nop(out, [res_text[1], guided_layers])[0].item()
+    chist[it] = compare(out[0], posterior).item()
+    torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+    opt.set_lr(get_lr_cosine_schedule(it, 3e-4, 3e-7, 0, TOTAL))
+    opt.step()
+    if it % 100 == 0:
+        np.savez("/root/repo/ref_vlm_train.npz", hist=hist, phist=phist,
+                 chist=chist, bayes=bayes, upto=it)
+        print(f"it {it} loss(win) {hist[max(0, it-100):it+1].mean():.4f} "
+              f"compare(win) {chist[max(0, it-100):it+1].mean():.4f} "
+              f"{time.time()-t0:.0f}s", flush=True)
+    if it % 500 == 0 and it > start_it:
+        torch.save({"model": model.state_dict(), "opt": opt.state_dict(),
+                    "it": it, "hist": hist, "phist": phist, "chist": chist},
+                   RESUME + ".tmp")
+        os.replace(RESUME + ".tmp", RESUME)
+np.savez("/root/repo/ref_vlm_train.npz", hist=hist, phist=phist, chist=chist,
+         bayes=bayes, upto=TOTAL)
+print("final100 loss:", hist[-100:].mean(), "compare:", chist[-100:].mean())
