@@ -15,6 +15,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -25,7 +26,9 @@ REFERENCE_SAMPLES_PER_SEC = 5.63
 BATCH = 128
 N_WARMUP_CHUNKS = 2
 N_CHUNKS = 5
-CHUNK = 10
+# Scan-chunk length: each host dispatch runs CHUNK fused train steps on
+# device, amortizing the remote-tunnel dispatch latency.
+CHUNK = int(os.environ.get("BENCH_CHUNK", "10"))
 
 
 def main():
