@@ -74,12 +74,18 @@ def main():
     dt = (time.perf_counter() - t0) / (N_CHUNKS * CHUNK)
 
     samples_per_sec = BATCH / dt
-    print(json.dumps({
+    # chunk is part of the operating point (dispatch amortization), so a
+    # non-default BENCH_CHUNK must be visible in the record — results from
+    # different chunks are otherwise silently non-comparable.
+    out = {
         "metric": "guided_clip_train_samples_per_sec",
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
-    }))
+    }
+    if CHUNK != 10:
+        out["chunk"] = CHUNK
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

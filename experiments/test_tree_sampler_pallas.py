@@ -4,8 +4,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from ghm_tpu.core import gen_transition, transitions_to_device
-from ghm_tpu.ops import sample_tree_pallas
+from tree_sampler_pallas import sample_tree_pallas
 
 
 class TestPallasTreeSampler:

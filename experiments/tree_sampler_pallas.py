@@ -1,4 +1,7 @@
-"""Pallas TPU kernel: fused GHM tree sampling.
+"""Pallas TPU kernel: fused GHM tree sampling.  RETIRED (see README.md):
+failed to lower on real hardware (cumsum unimplemented in Pallas TPU
+lowering for KernelType.TC), and the profiler showed sample+BP is ~2% of a
+train step — not worth a hand kernel.  Kept as a reference experiment.
 
 ``sample_tree`` (core/tree.py) lowers to one gather + cumsum + compare +
 argmax chain per tree layer; XLA fuses within a layer but layer values

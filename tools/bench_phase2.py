@@ -26,7 +26,9 @@ def bench_pallas():
 
     from ghm_tpu.core import gen_transition, transitions_to_device
     from ghm_tpu.core.tree import sample_root, sample_tree
-    from ghm_tpu.ops.tree_sampler import sample_tree_pallas
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "experiments"))
+    from tree_sampler_pallas import sample_tree_pallas
 
     transitions = transitions_to_device(
         gen_transition(4, 3, 10, 0.2, rng=np.random.RandomState(42)))

@@ -18,8 +18,14 @@ set -u
 WAIT_PID="$1"; GRID="$2"; PLIST="$3"; shift 3
 cd "$(dirname "$0")/.."
 
-echo "shepherd: waiting for pid ${WAIT_PID} to exit before ${GRID} ${PLIST}"
-while kill -0 "${WAIT_PID}" 2>/dev/null; do sleep 60; done
+ID_WAIT="$(ps -p "${WAIT_PID}" -o args= 2>/dev/null || true)"
+echo "shepherd: waiting for pid ${WAIT_PID} (${ID_WAIT}) to exit before ${GRID} ${PLIST}"
+while kill -0 "${WAIT_PID}" 2>/dev/null; do
+  # guard against pid recycling: stop waiting if the pid's identity changed
+  CUR="$(ps -p "${WAIT_PID}" -o args= 2>/dev/null || true)"
+  [ "${CUR}" = "${ID_WAIT}" ] || break
+  sleep 60
+done
 echo "shepherd: pid ${WAIT_PID} gone; sleeping 90s for claim release"
 sleep 90
 exec python tools/run_grid_slice.py "${GRID}" "--p_list=${PLIST}" "$@"

@@ -55,9 +55,13 @@ if os.path.exists(RESUME):
     hist[:start_it] = snap["hist"][:start_it]
     phist[:start_it] = snap["phist"][:start_it]
     chist[:start_it] = snap["chist"][:start_it]
-    # The sampler RNG restarts, so the resumed data stream is a fresh i.i.d.
-    # draw rather than a bit-level continuation — statistically equivalent
-    # for the arbiter-curve comparison.
+    # Re-seed with an iteration offset: seed_everything(224) above reset the
+    # global numpy RNG, so without this the resumed run would REPLAY the
+    # batch sequence from iteration 0 (batches the model already trained on)
+    # instead of drawing fresh data.  Offset seeding makes the resumed
+    # stream an independent draw — statistically equivalent for the
+    # arbiter-curve comparison, and never a replay.
+    seed_everything(224 + start_it)
     print(f"resuming from snapshot at it {start_it}", flush=True)
 
 t0 = time.time()
