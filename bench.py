@@ -82,6 +82,12 @@ def main():
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
+        # MFU from XLA's HLO flop count of this exact step program
+        # (654.4 GFLOP/iter, tools/mfu_report.py `clip_gt_B128`, compiled
+        # cost_analysis) against the v5e MXU: at matmul_precision=highest
+        # every f32 matmul costs 6 bf16 passes -> effective peak 197/6 TFLOP/s.
+        "mfu_vs_fp32_highest_peak": round(
+            (654.4e9 / dt) / (197e12 / 6.0), 4),
     }
     if CHUNK != 10:
         out["chunk"] = CHUNK

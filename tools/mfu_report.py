@@ -42,9 +42,12 @@ MEASURED = {
     "clip_gt_B128": (30.1, 128, "bench.py r03 (4248.5 samples/s)"),
     "cdm_jt_n5": (102.4, 5 * 128, "chunk study 2026-08-21"),
     "cdm_jt_n10": (226.0, 10 * 128, "round-3 sweep logs (2 concurrent)"),
-    "vlm_jt_n10": (645.0, 10 * 128, "live sweep log (4 concurrent)"),
-    "vlm_st_n10": (271.0, 10 * 128, "live sweep log (4 concurrent)"),
-    "vlm_gt_n10_remat": (1090.0, 10 * 128, "round-3 sweep logs"),
+    "vlm_jt_n10": (750.0, 10 * 128, "round-4 live sweep (5 concurrent)"),
+    "vlm_st_n10": (271.0, 10 * 128, "round-3 live sweep log (4 concurrent)"),
+    # vlm_gt n10 does NOT fit HBM un-rematerialized (compile OOM: 20.53G of
+    # 15.75G, round-4 log) — remat is the production operating point.
+    "vlm_gt_n10_remat": (790.0, 10 * 128, "round-4 live sweep (5 concurrent)"),
+    "vlm_sh_n10": (54.0, 10 * 128, "round-4 live sweep (5 concurrent)"),
 }
 
 
@@ -142,6 +145,7 @@ BUILDERS = {
     "vlm_jt_n10": lambda: sweep_step_flops("vlm_jt", 10),
     "vlm_st_n10": lambda: sweep_step_flops("vlm_st", 10),
     "vlm_gt_n10_remat": lambda: sweep_step_flops("vlm_gt", 10, remat=True),
+    "vlm_sh_n10": lambda: sweep_step_flops("vlm_sh", 10),
 }
 
 
