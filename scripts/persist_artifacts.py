@@ -79,6 +79,19 @@ def main():
         return
     total = sum(os.path.getsize(p) for p in to_add) / 1e6
     print(f"staging {len(to_add)} files ({total:.0f} MB)")
+    # Live sweeps rewrite tracked multi-hundred-MB resume blobs every eval
+    # interval; without the assume-unchanged bit every git command between
+    # persists re-hashes gigabytes (minutes on this 1-core host).  Clear the
+    # bit for staging, re-set it afterwards for the blobs that keep churning.
+    blobs = [p for p in to_add if p.endswith(".pkl")]
+
+    def _assume(flag, paths):
+        for i in range(0, len(paths), 100):
+            subprocess.run(["git", "update-index", flag, "--",
+                            *paths[i:i + 100]],
+                           stderr=subprocess.DEVNULL)
+
+    _assume("--no-assume-unchanged", blobs)
     # Batched to keep the command line bounded.
     for i in range(0, len(to_add), 100):
         subprocess.run(["git", "add", "-f", "--", *to_add[i:i + 100]],
@@ -87,8 +100,9 @@ def main():
         staged = subprocess.run(["git", "diff", "--cached", "--quiet"])
         if staged.returncode == 0:
             print("nothing newly staged; no commit")
-            return
-        subprocess.run(["git", "commit", "-m", args.message], check=True)
+        else:
+            subprocess.run(["git", "commit", "-m", args.message], check=True)
+    _assume("--assume-unchanged", blobs)
 
 
 if __name__ == "__main__":
