@@ -29,9 +29,17 @@ N_CHUNKS = 5
 # Scan-chunk length: each host dispatch runs CHUNK fused train steps on
 # device, amortizing the remote-tunnel dispatch latency.
 CHUNK = int(os.environ.get("BENCH_CHUNK", "10"))
+# Matmul precision operating point.  Unset = JAX's platform default, the
+# operating point every recorded BENCH_r0N ran at.  The production sweep
+# programs pin "highest" (f32 matmuls as 6 bf16 MXU passes — reproduces the
+# reference's fp32 training curves); BENCH_PRECISION={highest,default}
+# makes the bench measure either point explicitly.
+PRECISION = os.environ.get("BENCH_PRECISION")
 
 
 def main():
+    if PRECISION:
+        jax.config.update("jax_default_matmul_precision", PRECISION)
     from ghm_tpu.train.tasks import build_clip_task
     from ghm_tpu.train.trainer import Trainer
     from ghm_tpu.utils.config import ClipModelConfig, DoubleTreeConfig, UtilConfig
@@ -82,15 +90,22 @@ def main():
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
-        # MFU from XLA's HLO flop count of this exact step program
+        # From XLA's HLO flop count of this exact step program
         # (654.4 GFLOP/iter, tools/mfu_report.py `clip_gt_B128`, compiled
-        # cost_analysis) against the v5e MXU: at matmul_precision=highest
-        # every f32 matmul costs 6 bf16 passes -> effective peak 197/6 TFLOP/s.
-        "mfu_vs_fp32_highest_peak": round(
-            (654.4e9 / dt) / (197e12 / 6.0), 4),
+        # cost_analysis).  v5e bf16 peak 197 TFLOP/s; at
+        # matmul_precision=highest an f32 matmul costs 6 bf16 passes, so the
+        # effective peak is 197/6 — report MFU against that roof only when
+        # this run actually pinned `highest`.
+        "achieved_tflops": round(654.4e9 / dt / 1e12, 2),
+        "mfu_vs_bf16_peak": round((654.4e9 / dt) / 197e12, 4),
     }
+    if PRECISION == "highest":
+        out["mfu_vs_fp32_highest_peak"] = round(
+            (654.4e9 / dt) / (197e12 / 6.0), 4)
     if CHUNK != 10:
         out["chunk"] = CHUNK
+    if PRECISION:
+        out["matmul_precision"] = PRECISION
     print(json.dumps(out))
 
 
