@@ -74,6 +74,41 @@ def main():
                 continue
             to_add.append(path)
 
+    # A done-marker blob must never be committed without the checkpoints it
+    # points at: round 4 committed ShT shard-2's marker while its ten
+    # checkpoint.pth (written the same moment the grid finished) were still
+    # inside the STABLE_AGE_S window and got skipped — the session then died
+    # and the checkpoints were lost, leaving a marker that made every resume
+    # path self-skip a shard with no outputs.  Hold such markers back; the
+    # next persist run (after the window passes) stages marker + checkpoints
+    # together.
+    tracked = set(subprocess.run(
+        ["git", "ls-files", "logs"], capture_output=True,
+        text=True).stdout.splitlines())
+    staged_set = set(to_add)
+
+    def _marker_complete(path):
+        import pickle
+
+        try:
+            with open(path, "rb") as fh:
+                blob = pickle.load(fh)
+        except Exception:
+            return True  # not a marker; full blobs are self-contained
+        if not (isinstance(blob, dict) and blob.get("done")):
+            return True
+        for rd in blob.get("run_dirs", []):
+            ckpt = os.path.normpath(os.path.join(rd, "checkpoint.pth"))
+            if ckpt not in staged_set and ckpt not in tracked:
+                print(f"  HOLD BACK done-marker {path}: {ckpt} neither "
+                      "staged nor tracked (re-run persist in ~2 min)")
+                return False
+        return True
+
+    to_add = [p for p in to_add
+              if not (p.endswith(".pkl") and os.path.getsize(p) < 65536)
+              or _marker_complete(p)]
+
     if not to_add:
         print("nothing to persist")
         return
