@@ -82,8 +82,11 @@ def main():
         print("ghm_tpu JT p=0.2 checkpoint not found yet; showing the "
               "reference side only")
 
-    marks = [200, 400, 600, 800, 1000, 1500, 2000, 3000, 5000, 10000, 20000,
-             29900]
+    # Dense early marks: the VLM arbiter is ~15-20 s/iter on this 1-core
+    # host (the autoregressive D256 L9 fwd+bwd plus per-batch BP), so a
+    # round's worth of run only reaches a few hundred iterations.
+    marks = [100, 200, 300, 400, 600, 800, 1000, 1500, 2000, 3000, 5000,
+             10000, 20000, 29900]
     print(f"{'iter':>6} {'ref loss':>9} {'ref cmp':>8} "
           f"{'ghm loss':>9} {'ghm cmp':>8}")
     for it in marks:
