@@ -13,7 +13,11 @@ MFU divides by the v5e peak:
     as 6 bf16 passes -> ~32.8 TFLOP/s
 
 Measured ms/iter provenance (real chip, logs in repo):
-  * clip_gt   : bench.py BENCH_r03 4,248.5 samples/s at B=128 -> 30.1 ms
+  * clip_gt   : bench.py BENCH_PRECISION=highest round-4 A/B: 2,628.3
+                samples/s at B=128 -> 48.7 ms.  (The headline BENCH runs at
+                the platform DEFAULT precision — 30.0 ms, 4,265 samples/s —
+                which must NOT be divided by the fp32-highest roof; the
+                round-4 A/B in PARITY.md records both operating points.)
   * cdm_jt n5 : tools/profile_sweep_step.py chunk study 2026-08-21
                 (logs_vlm_st_s2.log): 102.4 ms/iter, chunk-invariant
   * vlm_*     : live 30k-iter sweep logs (100-iter window timestamps,
@@ -39,7 +43,7 @@ PEAK_F32_HIGHEST = PEAK_BF16 / 6.0
 
 # program -> (measured ms/iter on the real chip, batch samples/iter, source)
 MEASURED = {
-    "clip_gt_B128": (30.1, 128, "bench.py r03 (4248.5 samples/s)"),
+    "clip_gt_B128": (48.7, 128, "bench.py r4 precision A/B, highest leg"),
     "cdm_jt_n5": (102.4, 5 * 128, "chunk study 2026-08-21"),
     "cdm_jt_n10": (226.0, 10 * 128, "round-3 sweep logs (2 concurrent)"),
     "vlm_jt_n10": (750.0, 10 * 128, "round-4 live sweep (5 concurrent)"),
