@@ -10,6 +10,11 @@
 cd "$(dirname "$0")/.."
 mkdir -p logs/r4
 
+# A fresh checkout (round/session boundary) loses the assume-unchanged
+# index bits, after which every git command re-hashes ~5 GB of churning
+# resume blobs (observed: git commit timing out at 2 min).  Re-set first.
+git ls-files logs | grep sweep_resume | xargs -r git update-index --assume-unchanged
+
 if ps aux | grep -e run_grid_slice.py -e r4_slot.sh | grep -v grep >/dev/null; then
   echo "live sweep processes found; refusing to relaunch slots:"
   ps aux | grep -e run_grid_slice.py -e r4_slot.sh | grep -v grep
