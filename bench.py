@@ -27,7 +27,9 @@ BATCH = 128
 N_WARMUP_CHUNKS = 2
 N_CHUNKS = 5
 # Scan-chunk length: each host dispatch runs CHUNK fused train steps on
-# device, amortizing the remote-tunnel dispatch latency.
+# device.  The round-4 chunk study (logs/profile_clip_gt_r4.log) measured
+# per-iter time chunk-invariant from 1 to 100 — async dispatch already
+# hides the remote-tunnel latency — so CHUNK only sets the log cadence.
 CHUNK = int(os.environ.get("BENCH_CHUNK", "10"))
 # Matmul precision operating point.  Unset = JAX's platform default, the
 # operating point every recorded BENCH_r0N ran at.  The production sweep

@@ -44,7 +44,7 @@ PEAK_F32_HIGHEST = PEAK_BF16 / 6.0
 # program -> (measured ms/iter on the real chip, batch samples/iter, source)
 MEASURED = {
     "clip_gt_B128": (48.7, 128, "bench.py r4 precision A/B, highest leg"),
-    "cdm_jt_n5": (102.4, 5 * 128, "chunk study 2026-08-21"),
+    "cdm_jt_n5": (102.4, 5 * 128, "chunk study r4, logs/profile_cdm_jt_chunks_r4.log"),
     "cdm_jt_n10": (226.0, 10 * 128, "round-3 sweep logs (2 concurrent)"),
     "vlm_jt_n10": (750.0, 10 * 128, "round-4 live sweep (5 concurrent)"),
     "vlm_st_n10": (271.0, 10 * 128, "round-3 live sweep log (4 concurrent)"),
