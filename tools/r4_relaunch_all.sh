@@ -19,16 +19,18 @@ if ps aux | grep -e run_grid_slice.py -e r4_slot.sh | grep -v grep >/dev/null; t
   echo "live sweep processes found; refusing to relaunch slots:"
   ps aux | grep -e run_grid_slice.py -e r4_slot.sh | grep -v grep
 else
+  # 4 chains, not 5: one relay claim stays permanently free so the
+  # driver's bench.py (and the vlm_finish eval window) can always claim
+  # the chip.  GT is the ~6 h critical path either way, so queueing jt s2
+  # behind st s1 costs no completion time.
   setsid nohup tools/r4_slot.sh vlm_gt:0.02:0.20:remat >> logs/r4/slot1.log 2>&1 < /dev/null &
   sleep 4
   setsid nohup tools/r4_slot.sh vlm_gt:0.22:0.40:remat >> logs/r4/slot2.log 2>&1 < /dev/null &
   sleep 4
-  setsid nohup tools/r4_slot.sh vlm_jt:0.22:0.40 >> logs/r4/slot3.log 2>&1 < /dev/null &
-  sleep 4
   setsid nohup tools/r4_slot.sh vlm_jt:0.02:0.20 vlm_st:0.22:0.40 >> logs/r4/slot4.log 2>&1 < /dev/null &
   sleep 4
-  setsid nohup tools/r4_slot.sh vlm_st:0.02:0.20 >> logs/r4/slot5.log 2>&1 < /dev/null &
-  echo "5 sweep slots launched"
+  setsid nohup tools/r4_slot.sh vlm_st:0.02:0.20 vlm_jt:0.22:0.40 >> logs/r4/slot5.log 2>&1 < /dev/null &
+  echo "4 sweep chains launched"
 fi
 
 ps aux | grep r4_persist_loop | grep -v grep >/dev/null ||
